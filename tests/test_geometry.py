@@ -1,0 +1,164 @@
+"""Golden tests: JAX geometry vs the NumPy oracle of reference semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpufusion.config import BevSpec, RangeViewSpec
+from tpufusion.geometry.range_view import range_view_project
+from tpufusion.geometry.bev import bev_rasterize
+from tpufusion.geometry import boxes
+from tpufusion.geometry import encoding
+
+from tests.oracle import reference_numpy as oracle
+
+SPEC = RangeViewSpec()
+
+
+def test_spec_constants_match_reference():
+    assert SPEC.x_min == oracle.X_MIN
+    assert abs(SPEC.y_min - oracle.Y_MIN) < 1e-12
+    assert SPEC.x_max == oracle.X_MAX
+    assert SPEC.y_max == oracle.Y_MAX
+    assert (SPEC.height, SPEC.width) == (oracle.H, oracle.W)
+
+
+def test_range_view_matches_oracle(cloud):
+    want = oracle.range_view(cloud.astype(np.float64))
+    got = np.asarray(range_view_project(jnp.asarray(cloud), SPEC))
+    np.testing.assert_allclose(got[..., 0], want["distance"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[..., 1], want["height"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[..., 2], want["intensity"], rtol=1e-4, atol=1e-4)
+
+
+def test_range_view_nearest_wins():
+    # two points in the same pixel; nearer must win
+    far = [20.0, 0.0, 0.0, 7.0]
+    near = [10.0, 0.0, 0.0, 3.0]
+    pts = jnp.array([far, near], dtype=jnp.float32)
+    img = np.asarray(range_view_project(pts, SPEC))
+    occupied = img[..., 0] > 0
+    assert occupied.sum() == 1
+    assert np.isclose(img[..., 0][occupied][0], 10.0)
+    assert np.isclose(img[..., 2][occupied][0], 3.0)
+
+
+def test_range_view_padding_masked(cloud):
+    pad = np.full((100, 4), np.nan, dtype=np.float32)
+    padded = np.concatenate([cloud, pad], axis=0)
+    a = np.asarray(range_view_project(jnp.asarray(cloud), SPEC))
+    b = np.asarray(range_view_project(jnp.asarray(padded), SPEC))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bev_density_matches_oracle(cloud):
+    spec = BevSpec(with_height_channel=False, with_intensity_channel=False)
+    want = oracle.bev_density(cloud.astype(np.float64))
+    got = np.asarray(bev_rasterize(jnp.asarray(cloud), spec))[..., 0]
+    assert got.shape == want.shape
+    # f32 bucketing vs f64 histogram2d: points within float eps of a bin edge
+    # may land one bin over; bound the damage instead of exact equality
+    diff = np.abs(got - want)
+    assert (diff > 0.05).mean() < 1e-3
+    assert np.median(diff) == 0.0
+
+
+def test_project_2d_matches_oracle(rng):
+    pts = rng.uniform(-50, 50, size=(256, 3))
+    pts[:, 2] = rng.uniform(-3, 3, size=256)
+    want = np.array([oracle.project_2d(*p) for p in pts])
+    col, row = boxes.project_2d(
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]), SPEC
+    )
+    got = np.stack([np.asarray(col), np.asarray(row)], axis=1)
+    # float32 vs float64 trunc can differ by 1 pixel exactly at integer
+    # boundaries; require 99.5%+ exact match and max off-by-one
+    exact = (got == want).all(axis=1).mean()
+    assert exact > 0.99, exact
+    assert np.abs(got - want).max() <= 1
+
+
+def test_box_corners_match_oracle():
+    center = np.array([12.0, -4.0, -0.8])
+    size = np.array([4.2418, 1.4478, 1.5748])
+    yaw = 0.37
+    want = oracle.box_corners(center, size, yaw)
+    got = np.asarray(boxes.box_corners_3d(center, size, yaw))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_outer_rect_matches_oracle():
+    center = np.array([12.0, -4.0, -0.8])
+    size = np.array([4.2418, 1.4478, 1.5748])
+    yaw = 0.15
+    (ulx, uly), (lrx, lry) = oracle.outer_rect(center, size, yaw)
+    g_ulx, g_uly, g_lrx, g_lry = [
+        int(v) for v in boxes.outer_rect(
+            jnp.asarray(center, jnp.float32), jnp.asarray(size, jnp.float32),
+            jnp.asarray(yaw, jnp.float32), SPEC,
+        )
+    ]
+    assert abs(g_ulx - ulx) <= 1 and abs(g_uly - uly) <= 1
+    assert abs(g_lrx - lrx) <= 1 and abs(g_lry - lry) <= 1
+
+
+@pytest.mark.parametrize("yaw", [0.0, 0.3, -1.1])
+def test_encode_label_matches_oracle(cloud, yaw):
+    center = np.array([12.0, -4.0, -0.8])
+    size = np.array([4.2418, 1.4478, 1.5748])
+    img = np.stack(
+        [
+            oracle.range_view(cloud.astype(np.float64))[k]
+            for k in ("distance", "height", "intensity")
+        ],
+        axis=-1,
+    )
+    want = oracle.encode_label(center, size, yaw, img)
+    got = np.asarray(
+        encoding.encode_label(
+            jnp.asarray(center, jnp.float32),
+            jnp.asarray(size, jnp.float32),
+            jnp.asarray(yaw, jnp.float32),
+            jnp.asarray(img, jnp.float32),
+            SPEC,
+        )
+    )
+    # footprint can differ along its 1-pixel border from f32 trunc; compare
+    # where the masks agree and require near-total mask agreement
+    mask_agree = (want[..., 1] == got[..., 1])
+    assert mask_agree.mean() > 0.999
+    np.testing.assert_allclose(
+        got[mask_agree], want[mask_agree], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_encode_decode_roundtrip(cloud):
+    """decode_corners inverts encode_label exactly on the footprint."""
+    center = jnp.array([12.0, -4.0, -0.8], jnp.float32)
+    size = jnp.array([4.2418, 1.4478, 1.5748], jnp.float32)
+    yaw = jnp.float32(0.42)
+    img = range_view_project(jnp.asarray(cloud), SPEC)
+    lbl = encoding.encode_label(center, size, yaw, img, SPEC)
+    corners = encoding.decode_corners(lbl[..., 2:], img, SPEC)
+    mask = np.asarray(lbl[..., 1]) > 0
+    want = np.asarray(boxes.box_corners_3d(center, size, yaw))
+    got = np.asarray(corners)[mask]  # (K, 8, 3)
+    err = np.abs(got - want[None]).max()
+    assert err < 1e-3, err
+
+
+def test_connected_components_matches_scipy(rng):
+    from scipy.ndimage import label as scipy_label
+    from tpufusion.ops.components import connected_components
+
+    mask = rng.random((32, 180)) > 0.7
+    want, n = scipy_label(mask)
+    got = np.asarray(connected_components(jnp.asarray(mask)))
+    # same partition: bijection between scipy labels and our root ids
+    assert (got >= 0).sum() == (want > 0).sum()
+    for k in range(1, n + 1):
+        roots = np.unique(got[want == k])
+        assert len(roots) == 1, f"component {k} split"
+    # distinct scipy components map to distinct roots
+    roots = [got[want == k][0] for k in range(1, n + 1)]
+    assert len(set(roots)) == n

@@ -1,0 +1,204 @@
+"""Typed configuration tree for tpufusion.
+
+The reference scatters configuration across three tiers (constants modules,
+argparse CLIs, and env vars — see `modules/lidar/process/globals.py:1-16`,
+`modules/lidar/train/globals.py:1-24`). Here everything lives in frozen
+dataclasses so configs are hashable (usable as jit static args) and
+serializable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class RangeViewSpec:
+    """Cylindrical 360-degree range-view geometry.
+
+    Defaults reproduce the reference grid (`modules/lidar/process/globals.py:3-16`):
+    resolution (1.33 deg vertical, 0.2 deg horizontal), vertical field of view
+    (-30.67, 10.67) deg, giving a 32 x 1801 image.
+    """
+
+    res_v_deg: float = 1.33
+    res_h_deg: float = 0.2
+    vfov_lo_deg: float = -30.67
+    vfov_hi_deg: float = 10.67
+    min_height: float = -2.0
+    max_height: float = 2.0
+
+    @property
+    def res_v_rad(self) -> float:
+        return self.res_v_deg * math.pi / 180.0
+
+    @property
+    def res_h_rad(self) -> float:
+        return self.res_h_deg * math.pi / 180.0
+
+    @property
+    def x_min(self) -> float:
+        # azimuth-pixel origin shift (reference X_MIN = -360/res_h/2 = -900)
+        return -360.0 / self.res_h_deg / 2.0
+
+    @property
+    def y_min(self) -> float:
+        # elevation-pixel origin shift (reference Y_MIN = vfov_lo/res_v ~ -23.06)
+        return self.vfov_lo_deg / self.res_v_deg
+
+    @property
+    def x_max(self) -> int:
+        return int(360.0 / self.res_h_deg)  # 1800
+
+    @property
+    def y_max(self) -> int:
+        return int(abs(self.vfov_lo_deg - self.vfov_hi_deg) / self.res_v_deg)  # 31
+
+    @property
+    def width(self) -> int:
+        return self.x_max + 1  # 1801
+
+    @property
+    def height(self) -> int:
+        return self.y_max + 1  # 32
+
+
+@dataclass(frozen=True)
+class BevSpec:
+    """Bird's-eye-view rasterization grid.
+
+    Defaults reproduce `modules/lidar/common/birds_eye_view_generator.py:41-46`:
+    +-120 m extent, bin edges arange(-max_range, max_range, res) with x binned
+    by res_x (reference passes RES=(1.33, 0.2) so res[1]=0.2 bins x and
+    res[0]=1.33 bins y), MV3D log-density normalization with log base 64.
+    """
+
+    max_range: float = 120.0
+    res_x: float = 0.2
+    res_y: float = 1.33
+    density_log_base: float = 64.0
+    # Extra MV3D-style channels (max height / max intensity) beyond the
+    # reference's density-only raster; see BASELINE.json north star.
+    with_height_channel: bool = True
+    with_intensity_channel: bool = True
+
+    def _nbins(self, res: float) -> int:
+        # number of edges is ceil(2*max_range/res); bins = edges - 1
+        n_edges = int(math.ceil((2.0 * self.max_range - 1e-12) / res))
+        return n_edges - 1
+
+    @property
+    def nx(self) -> int:
+        return self._nbins(self.res_x)
+
+    @property
+    def ny(self) -> int:
+        return self._nbins(self.res_y)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """FCN encoder-decoder geometry (`modules/lidar/train/model.py:93-192`)."""
+
+    num_classes: int = 2
+    num_corner_outputs: int = 24  # 8 corners x xyz
+    use_regression: bool = True
+    vertical_stride: int = 1  # 1 for lidar, 2 for camera
+    batch_norm: bool = True  # feature-wise BN on the input
+    dtype: str = "float32"  # compute dtype for conv stack ("bfloat16" on TPU)
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Class-balanced weighted loss (`modules/lidar/train/model.py:26-91`)."""
+
+    use_w1: bool = True
+    use_w2: bool = True
+    obj_to_bkg_ratio: float = 0.00016
+    avg_obj_size: float = 1000.0
+    weight_bb: float = 0.01
+    loss_scaler: float = 1000.0
+    # The reference computes `tf.norm` over the whole batch regression diff
+    # (a scalar) instead of per pixel (`model.py:77-80`). We default to the
+    # fixed per-pixel norm; set reference_compat=True to reproduce the quirk.
+    reference_compat: bool = False
+    epsilon: float = 1e-7  # keras K.epsilon()
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 64
+    epochs: int = 100
+    learning_rate: float = 1e-3
+    k_negative_sample_ratio_weight: float = 4.0
+    augment: bool = True
+    seed: int = 0
+    checkpoint_every_epochs: int = 1
+    keep_checkpoints: int = 5
+    log_every_steps: int = 10
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    """Pose decode thresholds (`modules/lidar/train/predict.py:28-31`)."""
+
+    min_prob: float = 0.5
+    min_bbox_area: float = 100.0
+    min_heat: float = 2.0
+    max_bbox_dist: float = 5.0
+    # nearest-surface -> centroid range correction (`predict.py:283`)
+    range_offset: float = 0.75
+    # candidate-pixel scan margins around the 2D bbox (`predict.py:103-104`)
+    margin_x: int = 100
+    margin_y: int = 2
+    # is_far rejection deltas (`predict.py:85`)
+    far_delta: tuple[float, float, float] = (9.0, 3.0, 3.0)
+    # fixed candidate budget for the corner vote (the reference uses an
+    # unbounded python list; we cap for static shapes — overflow is logged)
+    max_candidates: int = 2048
+    # upper bound on connected-component label propagation sweeps
+    max_cc_iters: int = 128
+
+
+@dataclass(frozen=True)
+class CameraConfig:
+    """Camera input geometry (`modules/lidar/train/globals.py:19-21`,
+    `modules/lidar/process/globals.py:15-16`)."""
+
+    width: int = 1368
+    height: int = 512
+    channels: int = 1
+    crop_top: int = 430
+    crop_bottom: int = 942
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for multi-chip execution."""
+
+    data_axis: str = "data"
+    n_devices: int = 0  # 0 = use all available
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Root config."""
+
+    range_view: RangeViewSpec = RangeViewSpec()
+    bev: BevSpec = BevSpec()
+    model: ModelConfig = ModelConfig()
+    loss: LossConfig = LossConfig()
+    train: TrainConfig = TrainConfig()
+    decode: DecodeConfig = DecodeConfig()
+    camera: CameraConfig = CameraConfig()
+    mesh: MeshConfig = MeshConfig()
+    # fixed per-frame point budget (clouds are padded/truncated to this)
+    max_points: int = 65536
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,131 @@
+"""Label codec: per-pixel local-frame corner-regression targets.
+
+encode_label vectorizes `generate_label` (`modules/lidar/train/encoder.py:
+156-238`) over the whole range-view image — the reference runs a pure-python
+double loop over the box footprint. decode_corners is the exact inverse used
+by the reference decode (`modules/lidar/train/predict.py:103-135`):
+
+  encode:  c' = (Rz(theta) @ Ry(phi))^T (c - p)
+  decode:  c  = (Rz(theta) @ Ry(phi)) c' + p
+
+where theta/phi are the pixel's azimuth/elevation angles and p is the pixel's
+back-projected 3D point from the distance/height channels. Both directions
+are closed-form per pixel, so they vectorize to two batched (3,3)x(3,8)
+matmuls over the image.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpufusion.config import RangeViewSpec
+from tpufusion.geometry.boxes import box_corners_3d, outer_rect, rot_y, rot_z
+
+
+def pixel_angles(spec: RangeViewSpec):
+    """Per-pixel (theta, phi): azimuth/elevation used by encode & decode.
+
+    theta = (col + X_MIN) * res_h ; phi = (row + Y_MIN) * res_v
+    (encoder.py:210-211 — note `row` is the already-flipped image row; the
+    decode uses the identical convention so the pair stays self-inverse).
+    """
+    rows = jnp.arange(spec.height, dtype=jnp.float32)
+    cols = jnp.arange(spec.width, dtype=jnp.float32)
+    theta = (cols + spec.x_min) * spec.res_h_rad  # (W,)
+    phi = (rows + spec.y_min) * spec.res_v_rad  # (H,)
+    theta = jnp.broadcast_to(theta[None, :], (spec.height, spec.width))
+    phi = jnp.broadcast_to(phi[:, None], (spec.height, spec.width))
+    return theta, phi
+
+
+def pixel_points(image: jax.Array, spec: RangeViewSpec):
+    """Back-project every pixel to 3D: p = (d cos t, -d sin t, height).
+
+    `image` is (H, W, >=2) with channel 0 = distance, 1 = height.
+    """
+    theta, _ = pixel_angles(spec)
+    d = image[..., 0]
+    h = image[..., 1]
+    return jnp.stack([d * jnp.cos(theta), -d * jnp.sin(theta), h], axis=-1)
+
+
+def pixel_rotations(spec: RangeViewSpec):
+    """R = Rz(theta) @ Ry(phi) per pixel: (H, W, 3, 3)."""
+    theta, phi = pixel_angles(spec)
+    return jnp.einsum("hwij,hwjk->hwik", rot_z(theta), rot_y(phi), precision="highest")
+
+
+def _pyslice_mask(lo, hi, n: int, idx: jax.Array) -> jax.Array:
+    """Boolean mask equivalent to numpy's arr[lo:hi] slice assignment over an
+    axis of length n, including negative-index wrap (the reference assigns
+    label[ul_y:lr_y, ul_x:lr_x] = 1 with raw projected ints)."""
+    lo = jnp.where(lo < 0, lo + n, lo)
+    hi = jnp.where(hi < 0, hi + n, hi)
+    lo = jnp.clip(lo, 0, n)
+    hi = jnp.clip(hi, 0, n)
+    return (idx >= lo) & (idx < hi)
+
+
+def footprint_mask(center, size, yaw, spec: RangeViewSpec) -> jax.Array:
+    """(H, W) float32 0/1 mask of the outer-rect footprint
+    (encoder.py:164-168)."""
+    ul_x, ul_y, lr_x, lr_y = outer_rect(center, size, yaw, spec)
+    rows = jnp.arange(spec.height, dtype=jnp.int32)
+    cols = jnp.arange(spec.width, dtype=jnp.int32)
+    rmask = _pyslice_mask(ul_y, lr_y, spec.height, rows)
+    cmask = _pyslice_mask(ul_x, lr_x, spec.width, cols)
+    return (rmask[:, None] & cmask[None, :]).astype(jnp.float32)
+
+
+def encode_label(
+    center: jax.Array,  # (3,) tx, ty, tz
+    size: jax.Array,  # (3,) l, w, h
+    yaw: jax.Array,  # ()
+    image: jax.Array,  # (H, W, >=2) distance/height channels
+    spec: RangeViewSpec = RangeViewSpec(),
+) -> jax.Array:
+    """One frame's training target: (H, W, 2 + 24) float32.
+
+    Channels 0..1 = one-hot (background, foreground); 2..25 = per-pixel
+    local-frame corner offsets, zero outside the footprint. The reference
+    returns the same content flattened to (H*W, 26) and — bug — cast to
+    uint8, which destroys the regression targets (`loader.py:251`); we keep
+    float32 and note the divergence.
+    """
+    mask = footprint_mask(center, size, yaw, spec)  # (H, W)
+
+    corners = box_corners_3d(center, size, yaw)  # (8, 3)
+    p = pixel_points(image, spec)  # (H, W, 3)
+    rot = pixel_rotations(spec)  # (H, W, 3, 3)
+    # c' = R^T (c - p): (H, W, 8, 3)
+    diff = corners[None, None, :, :] - p[:, :, None, :]
+    c_prime = jnp.einsum("hwji,hwkj->hwki", rot, diff, precision="highest")
+    reg = c_prime.reshape(*mask.shape, 24) * mask[..., None]
+
+    onehot = jnp.stack([1.0 - mask, mask], axis=-1)
+    return jnp.concatenate([onehot, reg], axis=-1)
+
+
+def decode_corners(
+    reg: jax.Array,  # (H, W, 24) predicted local-frame corner offsets
+    image: jax.Array,  # (H, W, >=2) distance/height channels
+    spec: RangeViewSpec = RangeViewSpec(),
+) -> jax.Array:
+    """Invert encode_label over every pixel: (H, W, 8, 3) world-frame corners.
+
+    c = R c' + p  (predict.py:118-131), batched over the image.
+    """
+    h, w = reg.shape[:2]
+    c_prime = reg.reshape(h, w, 8, 3)
+    p = pixel_points(image, spec)
+    rot = pixel_rotations(spec)
+    c = jnp.einsum("hwij,hwkj->hwki", rot, c_prime, precision="highest") + p[:, :, None, :]
+    return c
+
+
+def encode_label_batch(centers, sizes, yaws, images, spec: RangeViewSpec):
+    """vmapped encode_label: (B,3),(B,3),(B,),(B,H,W,C) -> (B,H,W,26)."""
+    return jax.vmap(lambda c, s, y, im: encode_label(c, s, y, im, spec))(
+        centers, sizes, yaws, images
+    )

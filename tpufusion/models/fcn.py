@@ -1,0 +1,128 @@
+"""Fully convolutional segmentation + corner-regression network.
+
+Same layer geometry as the reference Keras model (`modules/lidar/train/
+model.py:93-192`), rebuilt in flax.nnx:
+
+  input (H, W, C)
+    -> feature-wise BatchNorm
+    -> zero-pad width (0, 3)                 # 1801 -> 1804 so /4 divides
+    -> conv1  4ch 5x5 stride (vs, 4) relu    # -> W/4
+    -> conv2  6ch 5x5 stride (vs, 2) relu    # -> W/8
+    -> conv3 12ch 5x5 stride (vs, 2) relu    # -> W/16
+    -> deconv4 16ch stride (vs, 2) relu, concat conv2
+    -> heads:
+       cls: deconv5a 8ch (vs,2) relu -> crop left 1 -> concat conv1
+            -> deconv6a 2ch (vs,4) linear -> crop right 3
+            -> softmax -> clip(eps, 1)
+       reg: deconv5b/6b mirror with 24 channels, relu outputs
+
+vs = 1 for lidar (32 rows preserved), 2 for camera.
+
+Output: (B, H, W, 2 + 24) — classification probabilities then corner
+offsets — matching the reference's concatenated output tensor
+(`model.py:183`) so one loss handles both heads.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from tpufusion.config import ModelConfig
+
+# keras kernel_initializer='random_uniform' is U(-0.05, 0.05)
+def _uniform_init(scale: float = 0.05):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+_KERAS_EPSILON = 1e-7
+
+
+class FCN(nnx.Module):
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        in_channels: int = 3,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.cfg = cfg
+        vs = cfg.vertical_stride
+        kinit = _uniform_init()
+        dtype = jnp.dtype(cfg.dtype)
+
+        def conv(cin, cout, strides):
+            return nnx.Conv(
+                cin, cout, (5, 5), strides=strides, padding="SAME",
+                kernel_init=kinit, dtype=dtype, param_dtype=jnp.float32,
+                rngs=rngs,
+            )
+
+        def deconv(cin, cout, strides):
+            return nnx.ConvTranspose(
+                cin, cout, (5, 5), strides=strides, padding="SAME",
+                kernel_init=kinit, dtype=dtype, param_dtype=jnp.float32,
+                rngs=rngs,
+            )
+
+        if cfg.batch_norm:
+            self.norm = nnx.BatchNorm(
+                in_channels, momentum=0.99, epsilon=1e-3, rngs=rngs
+            )
+        self.conv1 = conv(in_channels, 4, (vs, 4))
+        self.conv2 = conv(4, 6, (vs, 2))
+        self.conv3 = conv(6, 12, (vs, 2))
+        self.deconv4 = deconv(12, 16, (vs, 2))
+        self.deconv5a = deconv(22, 8, (vs, 2))
+        self.deconv6a = deconv(12, 2, (vs, 4))
+        if cfg.use_regression:
+            self.deconv5b = deconv(22, cfg.num_corner_outputs, (vs, 2))
+            self.deconv6b = deconv(
+                4 + cfg.num_corner_outputs, cfg.num_corner_outputs, (vs, 4)
+            )
+
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.cfg
+        if cfg.batch_norm:
+            x = self.norm(x, use_running_average=not train)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 3), (0, 0)))
+
+        c1 = nnx.relu(self.conv1(x))
+        c2 = nnx.relu(self.conv2(c1))
+        c3 = nnx.relu(self.conv3(c2))
+        d4 = nnx.relu(self.deconv4(c3))
+        cat4 = jnp.concatenate([c2, d4], axis=-1)
+
+        d5a = nnx.relu(self.deconv5a(cat4))[:, :, 1:, :]  # crop left 1
+        cat5a = jnp.concatenate([c1, d5a], axis=-1)
+        d6a = self.deconv6a(cat5a)[:, :, :-3, :]  # crop right 3
+        probs = jax.nn.softmax(d6a.astype(jnp.float32), axis=-1)
+        probs = jnp.clip(probs, _KERAS_EPSILON, 1.0)
+
+        if not cfg.use_regression:
+            return probs
+
+        d5b = nnx.relu(self.deconv5b(cat4))[:, :, 1:, :]
+        cat5b = jnp.concatenate([c1, d5b], axis=-1)
+        d6b = nnx.relu(self.deconv6b(cat5b))[:, :, :-3, :].astype(jnp.float32)
+        return jnp.concatenate([probs, d6b], axis=-1)
+
+    def features(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        """Pre-softmax deconv6a feature map, the tap the fusion net consumes
+        (`modules/lidar/train/train_fcn.py:371-395`)."""
+        cfg = self.cfg
+        if cfg.batch_norm:
+            x = self.norm(x, use_running_average=not train)
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 3), (0, 0)))
+        c1 = nnx.relu(self.conv1(x))
+        c2 = nnx.relu(self.conv2(c1))
+        c3 = nnx.relu(self.conv3(c2))
+        d4 = nnx.relu(self.deconv4(c3))
+        cat4 = jnp.concatenate([c2, d4], axis=-1)
+        d5a = nnx.relu(self.deconv5a(cat4))[:, :, 1:, :]
+        cat5a = jnp.concatenate([c1, d5a], axis=-1)
+        return self.deconv6a(cat5a)[:, :, :-3, :]

@@ -1,0 +1,85 @@
+"""Deterministic scatter reductions for point-cloud rasterization.
+
+The reference resolves pixel collisions by sorting points by descending
+L2 norm and letting later numpy writes win (`modules/lidar/process/
+extract_rosbag_lidar.py:64-71`): the nearest point (smallest L2) is written
+last; among equal L2 the lowest original index wins. A straight
+`arr.at[idx].set(vals)` in XLA has unspecified collision order, so we make
+the winner explicit with a two-stage segment-min:
+
+  1. per pixel, find the minimum sortable encoding of the L2 key;
+  2. among points matching that key, pick the minimum point index;
+  3. gather the winning point's payload.
+
+Non-negative finite float32 values have the property that their raw bit
+patterns (viewed as int32) sort identically to the floats themselves, so
+step 1 works entirely in int32 — no float-compare scatter needed and no
+int64 (which TPUs emulate slowly).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _sortable_bits(x: jax.Array) -> jax.Array:
+    """Bit-pattern encoding of non-negative float32 that preserves order."""
+    return jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+
+
+def nearest_wins_scatter(
+    pixel_ids: jax.Array,  # (N,) int32 flat pixel index in [0, num_pixels)
+    rank_key: jax.Array,  # (N,) float32 >= 0; smallest key wins a pixel
+    valid: jax.Array,  # (N,) bool
+    num_pixels: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Returns (winner_idx, occupied) per pixel.
+
+    winner_idx[p] is the index into the point arrays of the point that wins
+    pixel p (lowest rank_key, ties broken by lowest point index); undefined
+    (0) where occupied[p] is False.
+    """
+    n = pixel_ids.shape[0]
+    safe_ids = jnp.where(valid, pixel_ids, 0)
+    key_bits = jnp.where(valid, _sortable_bits(rank_key), _INT32_MAX)
+
+    min_bits = jnp.full((num_pixels,), _INT32_MAX, dtype=jnp.int32)
+    min_bits = min_bits.at[safe_ids].min(jnp.where(valid, key_bits, _INT32_MAX))
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_winner_key = valid & (key_bits == min_bits[safe_ids])
+    cand_idx = jnp.where(is_winner_key, idx, _INT32_MAX)
+
+    winner = jnp.full((num_pixels,), _INT32_MAX, dtype=jnp.int32)
+    winner = winner.at[safe_ids].min(cand_idx)
+
+    occupied = winner != _INT32_MAX
+    return jnp.where(occupied, winner, 0), occupied
+
+
+def scatter_count(
+    pixel_ids: jax.Array, valid: jax.Array, num_pixels: int
+) -> jax.Array:
+    """Number of valid points landing in each pixel (float32)."""
+    safe_ids = jnp.where(valid, pixel_ids, 0)
+    counts = jnp.zeros((num_pixels,), dtype=jnp.float32)
+    return counts.at[safe_ids].add(valid.astype(jnp.float32))
+
+
+def scatter_max(
+    pixel_ids: jax.Array,
+    values: jax.Array,
+    valid: jax.Array,
+    num_pixels: int,
+    fill: float = 0.0,
+) -> jax.Array:
+    """Per-pixel maximum of values over valid points; `fill` where empty."""
+    safe_ids = jnp.where(valid, pixel_ids, 0)
+    neg_inf = jnp.float32(-jnp.inf)
+    vals = jnp.where(valid, values.astype(jnp.float32), neg_inf)
+    out = jnp.full((num_pixels,), neg_inf, dtype=jnp.float32)
+    out = out.at[safe_ids].max(vals)
+    return jnp.where(jnp.isfinite(out), out, jnp.float32(fill))

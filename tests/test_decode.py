@@ -1,0 +1,150 @@
+"""Decode pipeline vs the NumPy oracle of predict.py semantics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpufusion.config import DecodeConfig, RangeViewSpec
+from tpufusion.decode import (
+    find_obstacle,
+    back_project_2d_to_3d,
+    decode_frame,
+)
+from tpufusion.geometry.range_view import range_view_project
+from tpufusion.geometry import encoding
+
+from tests.conftest import synthetic_cloud
+from tests.oracle import reference_numpy as oracle
+
+SPEC = RangeViewSpec()
+CFG = DecodeConfig()
+
+
+def _perfect_prediction(cloud, center, size, yaw):
+    """Network output that matches the encoded ground truth exactly."""
+    img = np.asarray(range_view_project(jnp.asarray(cloud), SPEC))
+    lbl = np.asarray(
+        encoding.encode_label(
+            jnp.asarray(center, jnp.float32),
+            jnp.asarray(size, jnp.float32),
+            jnp.asarray(yaw, jnp.float32),
+            jnp.asarray(img),
+            SPEC,
+        )
+    )
+    return img, lbl
+
+
+def _blob_prob_map(rng, n_blobs=3):
+    prob = np.zeros((SPEC.height, SPEC.width), dtype=np.float32)
+    for _ in range(n_blobs):
+        r0 = rng.integers(2, SPEC.height - 8)
+        c0 = rng.integers(2, SPEC.width - 40)
+        h = rng.integers(4, 10)
+        w = rng.integers(8, 40)
+        prob[r0 : r0 + h, c0 : c0 + w] = 0.9
+    return prob
+
+
+def test_find_obstacle_matches_oracle(rng):
+    for trial in range(5):
+        prob = _blob_prob_map(rng, n_blobs=trial % 3 + 1)
+        want_c, want_b, want_a = oracle.find_obstacle(prob)
+        got_c, got_b, got_a, found = find_obstacle(jnp.asarray(prob), CFG)
+        got_c, got_b = np.asarray(got_c), np.asarray(got_b)
+        if want_c is None:
+            assert not bool(found)
+            continue
+        assert bool(found)
+        assert tuple(got_c) == want_c
+        assert (got_b[0], got_b[1]) == want_b[0]
+        assert (got_b[2], got_b[3]) == want_b[1]
+        assert float(got_a) == want_a
+
+
+def test_find_obstacle_empty():
+    prob = jnp.zeros((SPEC.height, SPEC.width))
+    _, _, _, found = find_obstacle(prob, CFG)
+    assert not bool(found)
+
+
+def test_find_obstacle_small_blob_rejected():
+    prob = np.zeros((SPEC.height, SPEC.width), dtype=np.float32)
+    prob[10:14, 100:106] = 1.0  # tiny: area below min_bbox_area
+    want = oracle.find_obstacle(prob)
+    _, _, _, found = find_obstacle(jnp.asarray(prob), CFG)
+    assert want[0] is None and not bool(found)
+
+
+def test_back_project_matches_oracle(rng, cloud):
+    img = np.asarray(range_view_project(jnp.asarray(cloud), SPEC))
+    dist, hgt = img[..., 0], img[..., 1]
+    for _ in range(10):
+        cx = int(rng.integers(5, SPEC.width - 5))
+        cy = int(rng.integers(2, SPEC.height - 2))
+        bbox = (
+            max(cx - 20, 1),
+            max(cy - 4, 0),
+            min(cx + 20, SPEC.width - 1),
+            min(cy + 4, SPEC.height - 1),
+        )
+        want, _ = oracle.back_project((cx, cy), bbox, dist, hgt)
+        got, _, _ = back_project_2d_to_3d(
+            jnp.asarray([cx, cy], jnp.int32),
+            jnp.asarray(bbox, jnp.int32),
+            jnp.asarray(dist),
+            jnp.asarray(hgt),
+            SPEC,
+            CFG,
+        )
+        np.testing.assert_allclose(np.asarray(got), want[:3], rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("vehicle", [(10.0, -3.0, -0.7), (-14.0, 6.0, -0.8)])
+def test_decode_frame_recovers_pose(rng, vehicle):
+    """End-to-end: perfect predictions on a synthetic scene must decode to a
+    pose near the true vehicle center (and match the oracle decode)."""
+    size = (4.2, 1.6, 1.5)
+    yaw = 0.3  # nonzero: at yaw=0 the reference's atan2(dy~0, dx) is noise
+    # the reference corner convention rotates the box about the sensor origin
+    # (encoder.py:47-60), so physical returns must sit at the rotated spot
+    c, s = np.cos(yaw), np.sin(yaw)
+    spot = (
+        c * vehicle[0] - s * vehicle[1],
+        s * vehicle[0] + c * vehicle[1],
+        vehicle[2],
+    )
+    cloud = synthetic_cloud(rng, n=6000, with_vehicle_at=spot)
+    img, lbl = _perfect_prediction(cloud, np.array(vehicle), np.array(size), yaw)
+
+    out = decode_frame(jnp.asarray(lbl), jnp.asarray(img), SPEC, CFG)
+    assert bool(out["found"])
+    pose = np.asarray(out["pose"])
+
+    # oracle pipeline on the same inputs
+    want_c, want_b, _ = oracle.find_obstacle(lbl[..., 1])
+    assert want_c is not None
+    want_xyz, _ = oracle.back_project(
+        want_c,
+        (want_b[0][0], want_b[0][1], want_b[1][0], want_b[1][1]),
+        img[..., 0],
+        img[..., 1],
+    )
+    want_pose, _ = oracle.find_bbox_3d(
+        img[..., 0],
+        img[..., 1],
+        lbl.reshape(-1, 26),
+        want_b,
+        want_xyz[:3],
+    )
+    np.testing.assert_allclose(
+        np.delete(pose, 3), np.delete(want_pose, 3), rtol=1e-3, atol=5e-3
+    )
+    # yaw: atan2(dy~0, dx<0) flips between +/-pi on float noise and the
+    # reference averages raw angles; a box is invariant under yaw+pi, so
+    # compare modulo pi with circular distance
+    dyaw = (pose[3] - want_pose[3]) % np.pi
+    assert min(dyaw, np.pi - dyaw) < 5e-3
+
+    # and the pose should be physically near the (rotated) truth
+    assert np.linalg.norm(pose[:3] - np.array(spot)) < 1.5

@@ -1,0 +1,304 @@
+"""jit-fused pose decode: heatmap -> cluster -> 3D centroid -> corner vote.
+
+Device-side, fixed-shape re-design of the reference decode
+(`modules/lidar/train/predict.py`):
+
+  find_obstacle (predict.py:33-81)
+      threshold >= min_prob, stamp 4x4 heat around each positive (a
+      reduce_window box sum replaces the python stamp loop; positives at
+      row < 2 or col < 2 stamp nothing, matching python negative-slice
+      semantics), drop heat <= min_heat, 4-connected components, pick the
+      largest-area cluster bbox (ties -> first in scan order, like scipy's
+      label numbering), shrink by 2, integer centroid.
+
+  back_project_2d_to_3d (predict.py:230-293)
+      nearest-valid-pixel fallback inside the bbox when the centroid pixel
+      has no return, then range+0.75 -> (x, y, z).
+
+  corner_vote (predict.py:94-199)
+      decode every candidate pixel's 8 corners in one batched matmul,
+      apply the reference's candidate test (window around bbox AND the
+      column/row-membership check of predict.py:107), reject corners far
+      from the centroid, then count neighbors within max_bbox_dist via a
+      KxK distance matmul instead of the O(N^2) python loop; average the
+      tied winners and derive yaw / l / w / h from corner geometry.
+
+All data-dependent control flow is masks + sentinels so one XLA program
+serves every frame. decode_batch vmaps the whole thing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpufusion.config import DecodeConfig, RangeViewSpec
+from tpufusion.geometry.encoding import decode_corners
+from tpufusion.ops.components import connected_components
+
+_SENTINEL = 1e8  # reference uses 10e7 for "no valid pixel"
+_BIG_I = jnp.iinfo(jnp.int32).max
+
+
+def find_obstacle(
+    prob_map: jax.Array,  # (H, W) foreground probability
+    cfg: DecodeConfig = DecodeConfig(),
+):
+    """Returns (centroid(2) int32 [x, y], bbox(4) int32 [l, t, r, b],
+    area float32, found bool)."""
+    h, w = prob_map.shape
+    pos = prob_map >= cfg.min_prob
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    # python slice semantics: positives at row<2 or col<2 stamp nothing
+    stamp = pos & (rows >= 2) & (cols >= 2)
+
+    # heat[r, c] = #stamping positives in rows [r-1, r+2] x cols [c-1, c+2]
+    heat = jax.lax.reduce_window(
+        stamp.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(4, 4),
+        window_strides=(1, 1),
+        padding=((1, 2), (1, 2)),
+    )
+    heat = jnp.where(heat <= cfg.min_heat, 0.0, heat)
+
+    mask = heat > 0
+    labels = connected_components(mask, cfg.max_cc_iters)  # (H, W) root ids
+    n_px = h * w
+    safe = jnp.where(mask, labels, 0)
+
+    def seg_reduce(vals, init, op):
+        out = jnp.full((n_px,), init, dtype=vals.dtype)
+        return getattr(out.at[safe.ravel()], op)(
+            jnp.where(mask, vals, init).ravel()
+        )
+
+    min_x = seg_reduce(cols, _BIG_I, "min")
+    max_x = seg_reduce(cols, -1, "max")
+    min_y = seg_reduce(rows, _BIG_I, "min")
+    max_y = seg_reduce(rows, -1, "max")
+
+    seg_occupied = max_x >= 0
+    area = jnp.where(
+        seg_occupied, (max_x - min_x) * (max_y - min_y), -1
+    ).astype(jnp.int32)
+    max_area = jnp.max(area)
+    # earliest cluster (smallest root id) among area ties, like the
+    # strictly-greater scan of predict.py:58-71
+    winner = jnp.min(jnp.where(area == max_area, jnp.arange(n_px), _BIG_I))
+    winner = jnp.clip(winner, 0, n_px - 1)
+
+    found = max_area > cfg.min_bbox_area
+    bbox = jnp.stack(
+        [
+            min_x[winner] + 2,
+            min_y[winner] + 2,
+            max_x[winner] - 2,
+            max_y[winner] - 2,
+        ]
+    ).astype(jnp.int32)
+    centroid = jnp.stack(
+        [
+            ((bbox[0] + bbox[2]).astype(jnp.float32) / 2.0).astype(jnp.int32),
+            ((bbox[1] + bbox[3]).astype(jnp.float32) / 2.0).astype(jnp.int32),
+        ]
+    )
+    zero2 = jnp.zeros(2, jnp.int32)
+    zero4 = jnp.zeros(4, jnp.int32)
+    return (
+        jnp.where(found, centroid, zero2),
+        jnp.where(found, bbox, zero4),
+        jnp.where(found, max_area.astype(jnp.float32), 0.0),
+        found,
+    )
+
+
+def back_project_2d_to_3d(
+    centroid: jax.Array,  # (2,) int32 [x, y]
+    bbox: jax.Array,  # (4,) int32 [l, t, r, b]
+    dist_img: jax.Array,  # (H, W)
+    height_img: jax.Array,  # (H, W)
+    spec: RangeViewSpec = RangeViewSpec(),
+    cfg: DecodeConfig = DecodeConfig(),
+):
+    """Returns (xyz(3,), centroid'(2,) int32, ok bool)."""
+    h, w = dist_img.shape
+    valid = (dist_img > 0) & (height_img > spec.min_height)
+    cx, cy = centroid[0], centroid[1]
+    centroid_ok = valid[cy, cx]
+
+    # nearest-valid fallback inside the (inclusive) bbox window
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_window = (
+        (rows >= bbox[1])
+        & (rows <= bbox[3])
+        & (cols >= bbox[0])
+        & (cols <= bbox[2])
+    )
+    d2c = jnp.sqrt(
+        ((cols - cx).astype(jnp.float32)) ** 2
+        + ((rows - cy).astype(jnp.float32)) ** 2
+    )
+    d2c = jnp.where(valid & in_window, d2c, _SENTINEL)
+    flat_arg = jnp.argmin(d2c.ravel())  # first minimum in raster order
+    fb_y = (flat_arg // w).astype(jnp.int32)
+    fb_x = (flat_arg % w).astype(jnp.int32)
+    fb_ok = d2c.ravel()[flat_arg] < _SENTINEL
+
+    use_fallback = (~centroid_ok) & (bbox[0] != 0) & (bbox[2] != 0)
+    new_cx = jnp.where(use_fallback, jnp.where(fb_ok, fb_x, 0), cx)
+    new_cy = jnp.where(use_fallback, jnp.where(fb_ok, fb_y, 0), cy)
+
+    nonzero = ~((new_cx == 0) & (new_cy == 0))
+    d = dist_img[new_cy, new_cx] + cfg.range_offset
+    theta = (new_cx.astype(jnp.float32) + spec.x_min) * spec.res_h_rad
+    xyz = jnp.stack(
+        [d * jnp.cos(theta), -d * jnp.sin(theta), height_img[new_cy, new_cx]]
+    )
+    xyz = jnp.where(nonzero, xyz, 0.0)
+    return xyz, jnp.stack([new_cx, new_cy]), nonzero
+
+
+def corner_vote(
+    y_pred: jax.Array,  # (H, W, 2+24)
+    image: jax.Array,  # (H, W, >=2) distance/height
+    bbox: jax.Array,  # (4,) int32 [l, t, r, b]
+    centroid_3d: jax.Array,  # (3,)
+    spec: RangeViewSpec = RangeViewSpec(),
+    cfg: DecodeConfig = DecodeConfig(),
+):
+    """Returns (pose(7,) [xyz, yaw, l, w, h], box(8,3), ok bool)."""
+    h, w = y_pred.shape[:2]
+    corners = decode_corners(y_pred[..., 2:], image, spec)  # (H, W, 8, 3)
+
+    pos = y_pred[..., 1] >= cfg.min_prob
+    col_has_pos = jnp.any(pos, axis=0)  # (W,)
+    row_has_pos = jnp.any(pos, axis=1)  # (H,)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_window = (
+        (cols >= bbox[0] - cfg.margin_x)
+        & (cols < bbox[2] + cfg.margin_x)
+        & (rows >= bbox[1] - cfg.margin_y)
+        & (rows < bbox[3] + cfg.margin_y)
+    )
+    cand = in_window & col_has_pos[None, :] & row_has_pos[:, None]
+
+    # is_far: every corner within far_delta of the 3D centroid
+    delta = jnp.asarray(cfg.far_delta, jnp.float32)
+    near = jnp.all(
+        jnp.abs(corners - centroid_3d[None, None, None, :]) <= delta,
+        axis=(-1, -2),
+    )
+    cand = cand & near
+
+    # fixed-budget candidate selection in the reference's column-major scan
+    # order (predict.py loops x outer, y inner)
+    k = cfg.max_candidates
+    cand_cm = cand.T.ravel()  # column-major
+    corners_cm = corners.transpose(1, 0, 2, 3).reshape(-1, 24)
+    order = jnp.argsort(~cand_cm, stable=True)[:k]
+    sel_valid = cand_cm[order]  # (K,)
+    sel = corners_cm[order]  # (K, 24)
+
+    # pairwise neighbor count within max_bbox_dist (Frobenius over 24 dims).
+    # Center on the 3D centroid first: pairwise distances are translation
+    # invariant and the small magnitudes keep the f32 Gram trick accurate.
+    sel_c = sel - jnp.tile(centroid_3d, 8)[None, :]
+    sq = jnp.sum(sel_c * sel_c, axis=1)
+    gram = jnp.matmul(sel_c, sel_c.T, precision="highest")
+    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * gram, 0.0)
+    d2 = jnp.where(jnp.eye(k, dtype=bool), 0.0, d2)
+    pair_ok = (
+        (d2 > 1e-9)
+        & (d2 < cfg.max_bbox_dist**2)
+        & sel_valid[None, :]
+        & sel_valid[:, None]
+    )
+    counts = jnp.sum(pair_ok, axis=1)
+    counts = jnp.where(sel_valid, counts, -1)
+    max_count = jnp.max(counts)
+    winners = sel_valid & (counts == max_count)
+    n_win = jnp.maximum(jnp.sum(winners), 1)
+    box = jnp.sum(
+        jnp.where(winners[:, None], sel, 0.0), axis=0
+    ).reshape(8, 3) / n_win
+
+    ok = jnp.any(sel_valid)
+
+    # pose from corner geometry (predict.py:166-197)
+    i = jnp.arange(4)
+    dx = box[i, 0] - box[i + 4, 0]
+    dy = box[i, 1] - box[i + 4, 1]
+    yaw = jnp.arctan2(dy, dx)
+    cos_yaw = jnp.cos(yaw)
+    safe_cos = jnp.where(jnp.abs(cos_yaw) > 1e-12, cos_yaw, 1.0)
+    box_l = jnp.where(jnp.abs(cos_yaw) > 1e-12, dx / safe_cos, dy)
+    dx2 = box[i, 0] - box[i + 2, 0]
+    dy2 = box[i, 1] - box[i + 2, 1]
+    box_w = jnp.where(jnp.abs(cos_yaw) > 1e-12, dy2 / safe_cos, dx2)
+    box_h = jnp.abs(box[i, 2] - box[i + 1, 2])
+
+    pose = jnp.concatenate(
+        [
+            jnp.mean(box, axis=0),
+            jnp.stack(
+                [
+                    jnp.mean(yaw),
+                    jnp.mean(jnp.abs(box_l)),
+                    jnp.mean(jnp.abs(box_w)),
+                    jnp.mean(box_h),
+                ]
+            ),
+        ]
+    )
+    pose = jnp.where(ok, pose, 0.0)
+    box = jnp.where(ok, box, 0.0)
+    return pose, box, ok
+
+
+def decode_frame(
+    y_pred: jax.Array,  # (H, W, 2+24) network output
+    image: jax.Array,  # (H, W, >=2) distance/height channels
+    spec: RangeViewSpec = RangeViewSpec(),
+    cfg: DecodeConfig = DecodeConfig(),
+) -> dict[str, jax.Array]:
+    """Full per-frame decode; mirrors the staging of predict.py:441-505.
+
+    Returns pose (7,) = (tx, ty, tz, rz, l, w, h) — zeros when no obstacle
+    survives all stages — plus the intermediate products.
+    """
+    prob = y_pred[..., 1]
+    centroid, bbox, area, found = find_obstacle(prob, cfg)
+
+    centroid_nonzero = ~((centroid[0] == 0) & (centroid[1] == 0))
+    stage1 = found & centroid_nonzero
+
+    xyz, centroid2, bp_ok = back_project_2d_to_3d(
+        centroid, bbox, image[..., 0], image[..., 1], spec, cfg
+    )
+    stage2 = stage1 & bp_ok & ~((xyz[0] == 0.0) & (xyz[1] == 0.0))
+
+    pose, box, cv_ok = corner_vote(y_pred, image, bbox, xyz, spec, cfg)
+    ok = stage2 & cv_ok
+
+    zero7 = jnp.zeros(7, jnp.float32)
+    return {
+        "pose": jnp.where(ok, pose, zero7),
+        "found": ok,
+        "centroid_2d": jnp.where(stage1, centroid, 0),
+        "bbox_2d": jnp.where(stage1, bbox, 0),
+        "centroid_3d": jnp.where(stage2, xyz, 0.0),
+        "corners_3d": jnp.where(ok, box, 0.0),
+        "area": area,
+    }
+
+
+def decode_batch(y_pred, images, spec=RangeViewSpec(), cfg=DecodeConfig()):
+    """(B, H, W, 26), (B, H, W, C) -> dict of batched decode products."""
+    return jax.vmap(lambda p, im: decode_frame(p, im, spec, cfg))(
+        y_pred, images
+    )

@@ -1,0 +1,201 @@
+"""Model, loss, data pipeline, and end-to-end training smoke tests.
+
+Training tests use a reduced azimuth resolution (width 201 instead of 1801)
+to keep CPU runtime sane; the layer-geometry constraints (W = 4c-3, c odd,
+(c+1)/2 even) hold for both.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+from flax import nnx
+
+from tpufusion.config import (
+    LossConfig,
+    ModelConfig,
+    PipelineConfig,
+    RangeViewSpec,
+    TrainConfig,
+)
+from tpufusion.data.pipeline import BatchPipeline, epoch_indices
+from tpufusion.data.synthetic import synthesize_dataset
+from tpufusion.models.fcn import FCN
+from tpufusion.models.losses import weighted_pose_loss
+from tpufusion.models.metrics import batch_metrics
+from tpufusion.train.stats import population_weights
+from tpufusion.train.train_step import make_train_step
+
+SMALL_SPEC = RangeViewSpec(res_h_deg=1.8)  # width 201
+
+
+def test_small_spec_geometry():
+    assert SMALL_SPEC.width == 201 and SMALL_SPEC.height == 32
+
+
+def test_fcn_output_shape():
+    model = FCN(ModelConfig(), in_channels=3, rngs=nnx.Rngs(0))
+    x = jnp.zeros((1, 32, 1801, 3))
+    y = model(x)
+    assert y.shape == (1, 32, 1801, 26)
+    probs = np.asarray(y[..., :2])
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+    assert (np.asarray(y[..., 2:]) >= 0).all()  # relu regression head
+
+
+def test_fcn_camera_stride_shape():
+    model = FCN(
+        ModelConfig(vertical_stride=2, use_regression=False),
+        in_channels=1,
+        rngs=nnx.Rngs(0),
+    )
+    # camera: 512 x 1368; width pipeline: 1368+3=1371 -> not the lidar
+    # geometry, reference crops (0,4) for camera. Use the lidar width here
+    # and just verify the stride-2 vertical path composes.
+    x = jnp.zeros((1, 32, 201, 1))
+    y = model(x)
+    assert y.shape[0] == 1 and y.shape[-1] == 2
+
+
+def test_weighted_loss_semantics(rng):
+    b, p = 2, 64
+    y_true = np.zeros((b, p, 26), np.float32)
+    fg = rng.random((b, p)) < 0.2
+    y_true[..., 0] = ~fg
+    y_true[..., 1] = fg
+    y_true[..., 2:] = rng.normal(size=(b, p, 24)) * fg[..., None]
+    y_pred = np.concatenate(
+        [
+            np.clip(rng.random((b, p, 2)), 1e-7, 1).astype(np.float32),
+            rng.normal(size=(b, p, 24)).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    cfg = LossConfig(obj_to_bkg_ratio=0.1, avg_obj_size=10.0, weight_bb=0.01)
+
+    # direct numpy restatement
+    area = fg.sum(1, keepdims=True).astype(np.float64)
+    w = 0.1 * y_true[..., 0] + (10.0 / np.clip(area, 1e-7, p))[:, :] * y_true[..., 1]
+    nll = -(
+        y_true[..., 0] * np.log(y_pred[..., 0])
+        + y_true[..., 1] * np.log(y_pred[..., 1])
+    )
+    pix = w * nll * 1000.0
+    norm = np.sqrt(((y_true[..., 2:] - y_pred[..., 2:]) ** 2).sum(-1))
+    reg = (10.0 / np.clip(area, 1e-7, p)) * y_true[..., 1] * norm
+    want = (pix + 0.01 * reg).mean()
+
+    got = float(weighted_pose_loss(jnp.asarray(y_pred), jnp.asarray(y_true), cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_metrics_semantics():
+    y_true = np.zeros((1, 8, 26), np.float32)
+    y_true[0, :4, 1] = 1
+    y_true[0, 4:, 0] = 1
+    y_pred = np.zeros((1, 8, 26), np.float32)
+    y_pred[0, :2, 1] = 0.9  # 2 tp
+    y_pred[0, 6:, 1] = 0.8  # 2 fp
+    m = batch_metrics(jnp.asarray(y_pred), jnp.asarray(y_true))
+    assert abs(float(m["precision"]) - 0.5) < 1e-5
+    assert abs(float(m["recall"]) - 0.5) < 1e-5
+
+
+def test_epoch_indices_fill():
+    r = np.random.default_rng(0)
+    plan = epoch_indices(10, 4, r, shuffle=True)
+    assert plan.shape == (3, 4)
+    # every sample appears at least once
+    assert set(np.arange(10)) <= set(plan.ravel().tolist())
+
+
+def test_population_weights_match_oracle(rng):
+    from tests.oracle import reference_numpy as oracle
+
+    n = 4
+    centers = np.stack(
+        [rng.uniform(8, 25, n), rng.uniform(-5, 5, n), np.full(n, -0.7)], 1
+    )
+    sizes = np.tile([4.2, 1.6, 1.5], (n, 1))
+    yaws = rng.uniform(-0.5, 0.5, n)
+    got = population_weights(centers, sizes, yaws, RangeViewSpec())
+
+    areas = []
+    for i in range(n):
+        (ulx, uly), (lrx, lry) = oracle.outer_rect(centers[i], sizes[i], yaws[i])
+        m = np.zeros((oracle.H, oracle.W))
+        m[uly:lry, ulx:lrx] = 1
+        areas.append(m.sum())
+    areas = np.array(areas)
+    pos = areas[areas > 0].sum()
+    total = oracle.H * oracle.W * (areas > 0).sum()
+    np.testing.assert_allclose(
+        got["positive_to_negative_ratio"], pos / (total - pos), rtol=2e-2
+    )
+    np.testing.assert_allclose(
+        got["average_area"], pos / (areas > 0).sum(), rtol=2e-2
+    )
+
+
+@pytest.mark.slow
+def test_train_learns():
+    """30 steps on tiny synthetic data: loss drops, recall climbs."""
+    spec = SMALL_SPEC
+    data = synthesize_dataset(seed=7, num_frames=16, n_points=4096)
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    images = np.asarray(
+        range_view_project_batch(jnp.asarray(data["points"]), spec)
+    )
+    ds = {
+        "images": images,
+        "center": data["center"],
+        "size": data["size"],
+        "yaw": data["yaw"],
+    }
+    stats = population_weights(data["center"], data["size"], data["yaw"], spec)
+    # note: the synthetic scenes are denser in foreground than the Didi
+    # data, so the reference's x4 negative weight overweights background
+    # here; the raw ratio balances the classes
+    loss_cfg = LossConfig(
+        obj_to_bkg_ratio=stats["positive_to_negative_ratio"],
+        avg_obj_size=stats["average_area"],
+    )
+    train_cfg = TrainConfig(batch_size=8, augment=True, seed=0)
+
+    model = FCN(ModelConfig(), in_channels=3, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, optax.adam(3e-3), wrt=nnx.Param)
+    step = make_train_step(spec, loss_cfg, train_cfg)
+
+    pipe = BatchPipeline(ds, batch_size=8, seed=0)
+    key = jax.random.PRNGKey(0)
+    losses, recalls = [], []
+    it = iter(pipe)
+    for i in range(40):
+        key, sub = jax.random.split(key)
+        _, metrics = step(model, optimizer, next(it), sub)
+        losses.append(float(metrics["loss"]))
+        recalls.append(float(metrics["recall"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.7, losses
+    assert np.mean(recalls[-5:]) > 0.5, recalls
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from tpufusion.train.checkpoint import CheckpointManager
+
+    model = FCN(ModelConfig(), in_channels=3, rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+    x = jnp.ones((1, 32, 201, 3))
+    want = np.asarray(model(x))
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep=2)
+    mgr.save(3, model, optimizer)
+
+    model2 = FCN(ModelConfig(), in_channels=3, rngs=nnx.Rngs(42))
+    opt2 = nnx.Optimizer(model2, optax.adam(1e-3), wrt=nnx.Param)
+    step = mgr.restore(model2, opt2)
+    assert step == 3
+    got = np.asarray(model2(x))
+    np.testing.assert_array_equal(got, want)
+    mgr.close()

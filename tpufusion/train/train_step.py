@@ -1,0 +1,100 @@
+"""jit-compiled train / eval steps.
+
+Everything that the reference did on the host per batch — unpickling,
+python label encoding (`loader.py:243-253` -> `encoder.py:156-238`),
+augmentation (`loader.py:31-57`) — happens on device inside one XLA
+program here: (optional) point projection, label encoding, azimuth-roll
+augmentation, forward, loss, backward, optimizer update, metrics.
+
+Batches are dicts with either precomputed range-view `images` (B, H, W, 3)
+or raw `points` (B, N, 4) to be projected on device, plus ground truth
+`center` (B, 3), `size` (B, 3), `yaw` (B,).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import nnx
+
+from tpufusion.config import LossConfig, RangeViewSpec, TrainConfig
+from tpufusion.data.augment import augment_batch
+from tpufusion.geometry.encoding import encode_label_batch
+from tpufusion.geometry.range_view import range_view_project_batch
+from tpufusion.models.losses import weighted_pose_loss
+from tpufusion.models.metrics import batch_metrics
+
+
+def _batch_images(batch, spec: RangeViewSpec):
+    if "images" in batch:
+        return batch["images"]
+    return range_view_project_batch(batch["points"], spec)
+
+
+def make_train_step(
+    spec: RangeViewSpec,
+    loss_cfg: LossConfig,
+    train_cfg: TrainConfig,
+    use_regression: bool = True,
+):
+    """Returns train_step(model, optimizer, batch, key) -> (loss, metrics)."""
+
+    @nnx.jit
+    def train_step(model, optimizer, batch, key):
+        images = _batch_images(batch, spec)
+        labels = encode_label_batch(
+            batch["center"], batch["size"], batch["yaw"], images, spec
+        )
+        if train_cfg.augment:
+            images, labels = augment_batch(
+                key, images, labels,
+                batch["center"], batch["size"], batch["yaw"], spec,
+            )
+
+        def loss_fn(model):
+            preds = model(images, train=True)
+            loss = weighted_pose_loss(preds, labels, loss_cfg, use_regression)
+            return loss, preds
+
+        (loss, preds), grads = nnx.value_and_grad(loss_fn, has_aux=True)(model)
+        optimizer.update(model, grads)
+        metrics = batch_metrics(preds, labels, use_regression)
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return train_step
+
+
+def make_eval_step(
+    spec: RangeViewSpec,
+    loss_cfg: LossConfig,
+    use_regression: bool = True,
+):
+    @nnx.jit
+    def eval_step(model, batch):
+        images = _batch_images(batch, spec)
+        labels = encode_label_batch(
+            batch["center"], batch["size"], batch["yaw"], images, spec
+        )
+        preds = model(images, train=False)
+        loss = weighted_pose_loss(preds, labels, loss_cfg, use_regression)
+        metrics = batch_metrics(preds, labels, use_regression)
+        metrics["loss"] = loss
+        return loss, metrics
+
+    return eval_step
+
+
+def make_forward(spec: RangeViewSpec):
+    """Inference forward: points -> (images, predictions), one XLA program.
+
+    This is the projection+FCN part of the benchmarked end-to-end graph.
+    """
+
+    @nnx.jit
+    def forward(model, points):
+        images = range_view_project_batch(points, spec)
+        preds = model(images, train=False)
+        return images, preds
+
+    return forward

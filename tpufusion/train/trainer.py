@@ -1,0 +1,158 @@
+"""Training orchestration: epochs, validation, checkpoints, PR history.
+
+The reference orchestration lives in `modules/lidar/train/train.py:107-290`
+(Keras fit_generator + ModelCheckpoint + TensorBoard + LossHistory +
+PR-curve plots, Ctrl-C-safe final save). Here: a plain loop over the
+device-feeding pipeline with a jitted step, an orbax CheckpointManager,
+an in-memory metric history that serializes to the same PR-curve CSV
+schema (`modules/lidar/common/pr_curve_plotter.py`), and interrupt-safe
+final checkpointing.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+
+import jax
+import numpy as np
+import optax
+from flax import nnx
+
+from tpufusion.config import PipelineConfig
+from tpufusion.data.pipeline import BatchPipeline
+from tpufusion.models.fcn import FCN
+from tpufusion.train.checkpoint import CheckpointManager
+from tpufusion.train.train_step import make_eval_step, make_train_step
+from tpufusion.utils.logging import get_logger
+
+log = get_logger("trainer")
+
+
+class MetricHistory:
+    """Per-batch and per-epoch precision/recall/loss, like LossHistory
+    (`train.py:81-104`)."""
+
+    def __init__(self):
+        self.batch = {"loss": [], "precision": [], "recall": []}
+        self.epoch = {"loss": [], "precision": [], "recall": [],
+                      "val_loss": [], "val_precision": [], "val_recall": []}
+
+    def record_batch(self, metrics):
+        for k in ("loss", "precision", "recall"):
+            self.batch[k].append(float(metrics[k]))
+
+    def record_epoch(self, train_metrics, val_metrics=None):
+        for k in ("loss", "precision", "recall"):
+            self.epoch[k].append(float(train_metrics[k]))
+            self.epoch[f"val_{k}"].append(
+                float(val_metrics[k]) if val_metrics else float("nan")
+            )
+
+    def write_pr_csv(self, path: str):
+        """epoch, loss, precision, recall (+val) — pr_curve_plotter schema."""
+        with open(path, "w", newline="") as f:
+            wr = csv.writer(f)
+            wr.writerow(
+                ["epoch", "loss", "precision", "recall",
+                 "val_loss", "val_precision", "val_recall"]
+            )
+            for i in range(len(self.epoch["loss"])):
+                wr.writerow(
+                    [i]
+                    + [self.epoch[k][i] for k in
+                       ("loss", "precision", "recall",
+                        "val_loss", "val_precision", "val_recall")]
+                )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        model: FCN | None = None,
+        outdir: str = "./runs/default",
+        in_channels: int = 3,
+    ):
+        self.cfg = cfg
+        self.outdir = outdir
+        os.makedirs(outdir, exist_ok=True)
+        self.model = model or FCN(
+            cfg.model, in_channels, rngs=nnx.Rngs(cfg.train.seed)
+        )
+        self.optimizer = nnx.Optimizer(
+            self.model, optax.adam(cfg.train.learning_rate), wrt=nnx.Param
+        )
+        self.train_step = make_train_step(
+            cfg.range_view, cfg.loss, cfg.train, cfg.model.use_regression
+        )
+        self.eval_step = make_eval_step(
+            cfg.range_view, cfg.loss, cfg.model.use_regression
+        )
+        self.history = MetricHistory()
+        self.ckpt = CheckpointManager(
+            os.path.join(outdir, "ckpt"), keep=cfg.train.keep_checkpoints
+        )
+        self.step = 0
+
+    def resume(self) -> bool:
+        try:
+            step = self.ckpt.restore(self.model, self.optimizer)
+        except FileNotFoundError:
+            return False
+        self.step = step
+        log.info("resumed from step %d", step)
+        return True
+
+    def fit(
+        self,
+        train_pipe: BatchPipeline,
+        val_pipe: BatchPipeline | None = None,
+        epochs: int | None = None,
+    ):
+        cfg = self.cfg.train
+        epochs = epochs if epochs is not None else cfg.epochs
+        key = jax.random.PRNGKey(cfg.seed)
+        try:
+            for epoch in range(epochs):
+                t0 = time.time()
+                sums, nb = {}, 0
+                for batch in train_pipe.epoch():
+                    key, sub = jax.random.split(key)
+                    _, metrics = self.train_step(
+                        self.model, self.optimizer, batch, sub
+                    )
+                    self.step += 1
+                    nb += 1
+                    self.history.record_batch(metrics)
+                    for k, v in metrics.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                train_avg = {k: v / max(nb, 1) for k, v in sums.items()}
+
+                val_avg = None
+                if val_pipe is not None:
+                    vsums, vn = {}, 0
+                    for batch in val_pipe.epoch():
+                        _, metrics = self.eval_step(self.model, batch)
+                        vn += 1
+                        for k, v in metrics.items():
+                            vsums[k] = vsums.get(k, 0.0) + float(v)
+                    val_avg = {k: v / max(vn, 1) for k, v in vsums.items()}
+
+                self.history.record_epoch(train_avg, val_avg)
+                log.info(
+                    "epoch %d: loss=%.4f prec=%.3f rec=%.3f%s (%.1fs)",
+                    epoch, train_avg["loss"], train_avg["precision"],
+                    train_avg["recall"],
+                    f" val_loss={val_avg['loss']:.4f}" if val_avg else "",
+                    time.time() - t0,
+                )
+                if (epoch + 1) % cfg.checkpoint_every_epochs == 0:
+                    self.ckpt.save(self.step, self.model, self.optimizer)
+        except KeyboardInterrupt:
+            log.info("interrupted — saving final checkpoint")
+        finally:
+            self.ckpt.save(self.step, self.model, self.optimizer)
+            self.history.write_pr_csv(os.path.join(self.outdir, "pr_curve.csv"))
+        return self.history

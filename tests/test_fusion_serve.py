@@ -1,0 +1,126 @@
+"""Fusion net, timestamp alignment, and serving harness tests (small
+geometries to keep CPU runtime sane)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from flax import nnx
+
+from tpufusion.config import (
+    CameraConfig,
+    DecodeConfig,
+    ModelConfig,
+    PipelineConfig,
+    RangeViewSpec,
+)
+from tpufusion.data.align import align_camera_lidar_radar, nearest_indices
+from tpufusion.models.fusion import FusionNet, fusion_loss, trainable_filter
+
+SMALL_SPEC = RangeViewSpec(res_h_deg=1.8)  # width 201
+SMALL_CAM = CameraConfig(width=201, height=64, channels=1)
+
+
+def _small_fusion():
+    return FusionNet(
+        lidar_model=ModelConfig(),
+        camera_model=ModelConfig(vertical_stride=2, use_regression=False),
+        camera=SMALL_CAM,
+        lidar_hw=(SMALL_SPEC.height, SMALL_SPEC.width),
+        rngs=nnx.Rngs(0),
+    )
+
+
+def test_fusion_forward_shapes():
+    net = _small_fusion()
+    cam = jnp.zeros((2, 64, 201, 1))
+    lidar = jnp.zeros((2, 32, 201, 3))
+    radar = jnp.zeros((2, 2))
+    centroid, rz = net(cam, lidar, radar)
+    assert centroid.shape == (2, 3) and rz.shape == (2, 1)
+
+
+def test_fusion_freeze_filter():
+    net = _small_fusion()
+    frozen = trainable_filter(lock_lidar=True, lock_camera=True)
+    state = nnx.state(net)
+    flat = nnx.to_flat_state(state)
+    kept = [p for p, v in flat if frozen(p, v)]
+    assert kept, "head params must remain trainable"
+    assert all(p[0] not in ("lidar_fcn", "camera_fcn") for p in kept)
+
+
+def test_fusion_train_step_learns():
+    net = _small_fusion()
+    opt = nnx.Optimizer(net, optax.adam(1e-3), wrt=nnx.Param)
+    cam = jnp.ones((4, 64, 201, 1)) * 0.1
+    lidar = jnp.ones((4, 32, 201, 3)) * 0.2
+    radar = jnp.asarray([[10.0, 0.1]] * 4)
+    target = (jnp.asarray([[5.0, 1.0, -0.5]] * 4), jnp.asarray([[0.3]] * 4))
+
+    @nnx.jit
+    def step(net, opt):
+        def loss_fn(net):
+            return fusion_loss(net(cam, lidar, radar, train=False), target)
+
+        loss, grads = nnx.value_and_grad(loss_fn)(net)
+        opt.update(net, grads)
+        return loss
+
+    first = float(step(net, opt))
+    for _ in range(20):
+        last = float(step(net, opt))
+    assert last < first * 0.5, (first, last)
+
+
+def test_nearest_indices():
+    sorted_ts = np.array([0, 100, 200, 300])
+    q = np.array([-10, 0, 49, 51, 149, 151, 1000])
+    idx = nearest_indices(sorted_ts, q)
+    np.testing.assert_array_equal(idx, [0, 0, 0, 1, 1, 2, 3])
+
+
+def test_align_camera_lidar_radar():
+    cam = np.array([105, 205, 305])
+    lidar = np.array([0, 100, 200, 300])
+    radar = np.array([50, 150, 250, 350])
+    out = align_camera_lidar_radar(cam, lidar, radar)
+    np.testing.assert_array_equal(out["lidar_index"], [1, 2, 3])
+    np.testing.assert_array_equal(out["radar_index"], [1, 2, 3])
+
+
+def test_lidar_pipeline_predict(rng):
+    from tests.conftest import synthetic_cloud
+    from tpufusion.serve.pipeline import LidarPipeline
+
+    cfg = PipelineConfig(range_view=SMALL_SPEC, max_points=8192)
+    pipe = LidarPipeline(cfg)
+    cloud = synthetic_cloud(rng, n=4000, with_vehicle_at=(12.0, -3.0, -0.7))
+    pose, found = pipe.predict_position(cloud)
+    assert pose.shape == (7,)
+    # untrained net: just verify the fused graph runs and returns finite data
+    assert np.isfinite(pose).all()
+    mean = LidarPipeline.fake_predict(cloud)
+    assert mean.shape == (3,)
+
+
+def test_replay_harness(rng):
+    from tpufusion.serve.replay import ReplayHarness
+
+    cfg = PipelineConfig(range_view=SMALL_SPEC)
+    harness = ReplayHarness(cfg, chunk=4)
+    pts = np.stack(
+        [
+            np.pad(
+                __import__("tests.conftest", fromlist=["synthetic_cloud"])
+                .synthetic_cloud(rng, n=2000),
+                ((0, 48), (0, 0)),
+                constant_values=np.nan,
+            )
+            for _ in range(8)
+        ]
+    )
+    poses, founds, stats = harness.run(pts)
+    assert poses.shape == (8, 7)
+    s = stats.summary()
+    assert s["frames"] == 8 and s["fps"] > 0

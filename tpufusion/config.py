@@ -158,6 +158,10 @@ class DecodeConfig:
     # fixed candidate budget for the corner vote (the reference uses an
     # unbounded python list; we cap for static shapes — overflow is logged)
     max_candidates: int = 2048
+    # static column window extracted around the 2D bbox for the vote; covers
+    # the reference's scan span (bbox +- margin_x) for bboxes up to
+    # vote_window - 2*margin_x columns wide
+    vote_window: int = 512
     # upper bound on connected-component label propagation sweeps
     max_cc_iters: int = 128
 

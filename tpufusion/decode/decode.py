@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from tpufusion.config import DecodeConfig, RangeViewSpec
 from tpufusion.geometry.encoding import decode_corners
-from tpufusion.ops.components import connected_components
+from tpufusion.ops.components import connected_components_with_bbox
 
 _SENTINEL = 1e8  # reference uses 10e7 for "no valid pixel"
 _BIG_I = jnp.iinfo(jnp.int32).max
@@ -65,38 +65,26 @@ def find_obstacle(
     heat = jnp.where(heat <= cfg.min_heat, 0.0, heat)
 
     mask = heat > 0
-    labels = connected_components(mask, cfg.max_cc_iters)  # (H, W) root ids
-    n_px = h * w
-    safe = jnp.where(mask, labels, 0)
+    labels, min_x, max_x, min_y, max_y = connected_components_with_bbox(
+        mask, cfg.max_cc_iters
+    )  # per-pixel cluster root + cluster extents
 
-    def seg_reduce(vals, init, op):
-        out = jnp.full((n_px,), init, dtype=vals.dtype)
-        return getattr(out.at[safe.ravel()], op)(
-            jnp.where(mask, vals, init).ravel()
-        )
-
-    min_x = seg_reduce(cols, _BIG_I, "min")
-    max_x = seg_reduce(cols, -1, "max")
-    min_y = seg_reduce(rows, _BIG_I, "min")
-    max_y = seg_reduce(rows, -1, "max")
-
-    seg_occupied = max_x >= 0
-    area = jnp.where(
-        seg_occupied, (max_x - min_x) * (max_y - min_y), -1
-    ).astype(jnp.int32)
+    area = jnp.where(mask, (max_x - min_x) * (max_y - min_y), -1)
     max_area = jnp.max(area)
     # earliest cluster (smallest root id) among area ties, like the
-    # strictly-greater scan of predict.py:58-71
-    winner = jnp.min(jnp.where(area == max_area, jnp.arange(n_px), _BIG_I))
-    winner = jnp.clip(winner, 0, n_px - 1)
+    # strictly-greater scan of predict.py:58-71; any pixel of the winning
+    # cluster carries the same extents, so pick the first such pixel
+    key = jnp.where(mask & (area == max_area), labels, _BIG_I)
+    winner = jnp.argmin(key.ravel())
+    wy, wx = winner // w, winner % w
 
     found = max_area > cfg.min_bbox_area
     bbox = jnp.stack(
         [
-            min_x[winner] + 2,
-            min_y[winner] + 2,
-            max_x[winner] - 2,
-            max_y[winner] - 2,
+            min_x[wy, wx] + 2,
+            min_y[wy, wx] + 2,
+            max_x[wy, wx] - 2,
+            max_y[wy, wx] - 2,
         ]
     ).astype(jnp.int32)
     centroid = jnp.stack(
@@ -170,22 +158,41 @@ def corner_vote(
     spec: RangeViewSpec = RangeViewSpec(),
     cfg: DecodeConfig = DecodeConfig(),
 ):
-    """Returns (pose(7,) [xyz, yaw, l, w, h], box(8,3), ok bool)."""
+    """Returns (pose(7,) [xyz, yaw, l, w, h], box(8,3), ok bool).
+
+    Works in a static vote_window-column slice around the bbox: the
+    reference scans bbox +- margin_x columns (predict.py:103), and the
+    is_far filter kills anything beyond ~far_delta of the centroid anyway,
+    so a 512-column window loses candidates only for bboxes wider than
+    vote_window - 2*margin_x (documented divergence; such frames are
+    already degenerate).
+    """
     h, w = y_pred.shape[:2]
-    corners = decode_corners(y_pred[..., 2:], image, spec)  # (H, W, 8, 3)
+    win = min(cfg.vote_window, w)
 
     pos = y_pred[..., 1] >= cfg.min_prob
-    col_has_pos = jnp.any(pos, axis=0)  # (W,)
+    col_has_pos = jnp.any(pos, axis=0)  # (W,) over the FULL image
     row_has_pos = jnp.any(pos, axis=1)  # (H,)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    start = jnp.clip(bbox[0] - cfg.margin_x, 0, w - win)
+    ypred_w = jax.lax.dynamic_slice(
+        y_pred, (0, start, 0), (h, win, y_pred.shape[2])
+    )
+    image_w = jax.lax.dynamic_slice(
+        image, (0, start, 0), (h, win, image.shape[2])
+    )
+    corners = decode_corners(ypred_w[..., 2:], image_w, spec, start)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, win), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, win), 1) + start
     in_window = (
         (cols >= bbox[0] - cfg.margin_x)
         & (cols < bbox[2] + cfg.margin_x)
         & (rows >= bbox[1] - cfg.margin_y)
         & (rows < bbox[3] + cfg.margin_y)
     )
-    cand = in_window & col_has_pos[None, :] & row_has_pos[:, None]
+    col_pos_w = jax.lax.dynamic_slice(col_has_pos, (start,), (win,))
+    cand = in_window & col_pos_w[None, :] & row_has_pos[:, None]
 
     # is_far: every corner within far_delta of the 3D centroid
     delta = jnp.asarray(cfg.far_delta, jnp.float32)
@@ -197,7 +204,7 @@ def corner_vote(
 
     # fixed-budget candidate selection in the reference's column-major scan
     # order (predict.py loops x outer, y inner)
-    k = cfg.max_candidates
+    k = min(cfg.max_candidates, h * win)
     cand_cm = cand.T.ravel()  # column-major
     corners_cm = corners.transpose(1, 0, 2, 3).reshape(-1, 24)
     order = jnp.argsort(~cand_cm, stable=True)[:k]

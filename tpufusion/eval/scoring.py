@@ -1,0 +1,119 @@
+"""Pose-error and 3D-IoU scoring (BASELINE config 4).
+
+The reference relied on the external challenge scorer; here scoring is
+built in: per-frame translation / yaw errors plus yaw-aware 3D box IoU
+(rotated-rectangle polygon intersection in BEV x vertical overlap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _rect_corners_bev(cx, cy, l, w, yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    dx = np.asarray([l, l, -l, -l]) / 2.0
+    dy = np.asarray([w, -w, -w, w]) / 2.0
+    return np.stack([cx + c * dx - s * dy, cy + s * dx + c * dy], axis=-1)
+
+
+def _polygon_area(poly: np.ndarray) -> float:
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(
+        float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )
+
+
+def _clip_polygon(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman against a convex clip polygon (ccw)."""
+    out = list(subject)
+    for i in range(len(clip)):
+        a, b = clip[i], clip[(i + 1) % len(clip)]
+        edge = b - a
+        inp, out = out, []
+        if not inp:
+            break
+
+        def inside(p):
+            return edge[0] * (p[1] - a[1]) - edge[1] * (p[0] - a[0]) >= 0
+
+        for j in range(len(inp)):
+            p, q = inp[j], inp[(j + 1) % len(inp)]
+            pin, qin = inside(p), inside(q)
+            if pin:
+                out.append(p)
+            if pin != qin:
+                d = q - p
+                denom = edge[0] * d[1] - edge[1] * d[0]
+                if abs(denom) > 1e-12:
+                    # solve cross(edge, p + t d - a) = 0
+                    t = -(edge[0] * (p[1] - a[1]) - edge[1] * (p[0] - a[0])) / denom
+                    out.append(p + t * d)
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def _ccw(poly: np.ndarray) -> np.ndarray:
+    x, y = poly[:, 0], poly[:, 1]
+    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    return poly if signed > 0 else poly[::-1]
+
+
+def box_iou_3d(pose_a, pose_b) -> float:
+    """poses are (tx, ty, tz, rz, l, w, h)."""
+    a = np.asarray(pose_a, np.float64)
+    b = np.asarray(pose_b, np.float64)
+    ra = _ccw(_rect_corners_bev(a[0], a[1], a[4], a[5], a[3]))
+    rb = _ccw(_rect_corners_bev(b[0], b[1], b[4], b[5], b[3]))
+    inter_poly = _clip_polygon(ra, rb)
+    if len(inter_poly) < 3:
+        return 0.0
+    inter_bev = _polygon_area(inter_poly)
+    za0, za1 = a[2] - a[6] / 2, a[2] + a[6] / 2
+    zb0, zb1 = b[2] - b[6] / 2, b[2] + b[6] / 2
+    dz = max(0.0, min(za1, zb1) - max(za0, zb0))
+    inter = inter_bev * dz
+    vol_a = a[4] * a[5] * a[6]
+    vol_b = b[4] * b[5] * b[6]
+    union = vol_a + vol_b - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def pose_errors(pred, truth) -> dict[str, float]:
+    p = np.asarray(pred, np.float64)
+    t = np.asarray(truth, np.float64)
+    dyaw = (p[3] - t[3]) % np.pi
+    return {
+        "trans_err": float(np.linalg.norm(p[:3] - t[:3])),
+        "xy_err": float(np.linalg.norm(p[:2] - t[:2])),
+        "yaw_err": float(min(dyaw, np.pi - dyaw)),
+    }
+
+
+def score_poses(
+    preds: np.ndarray, truths: np.ndarray, iou_thresholds=(0.25, 0.5)
+) -> dict[str, float]:
+    """Batched scoring: preds/truths (F, 7). Frames with all-zero preds are
+    misses (the decode's no-obstacle sentinel)."""
+    preds = np.asarray(preds, np.float64)
+    truths = np.asarray(truths, np.float64)
+    found = ~np.all(preds[:, :3] == 0.0, axis=1)
+    ious = np.array(
+        [
+            box_iou_3d(p, t) if ok else 0.0
+            for p, t, ok in zip(preds, truths, found)
+        ]
+    )
+    errs = [
+        pose_errors(p, t) for p, t, ok in zip(preds, truths, found) if ok
+    ]
+    out = {
+        "frames": float(len(preds)),
+        "detection_rate": float(found.mean()) if len(preds) else 0.0,
+        "mean_iou": float(ious.mean()) if len(preds) else 0.0,
+    }
+    for th in iou_thresholds:
+        out[f"recall@iou{th}"] = float((ious >= th).mean())
+    if errs:
+        for k in ("trans_err", "xy_err", "yaw_err"):
+            out[f"mean_{k}"] = float(np.mean([e[k] for e in errs]))
+    return out

@@ -23,36 +23,39 @@ from tpufusion.config import RangeViewSpec
 from tpufusion.geometry.boxes import box_corners_3d, outer_rect, rot_y, rot_z
 
 
-def pixel_angles(spec: RangeViewSpec):
+def pixel_angles(spec: RangeViewSpec, col_start=0, width: int | None = None):
     """Per-pixel (theta, phi): azimuth/elevation used by encode & decode.
 
     theta = (col + X_MIN) * res_h ; phi = (row + Y_MIN) * res_v
     (encoder.py:210-211 — note `row` is the already-flipped image row; the
     decode uses the identical convention so the pair stays self-inverse).
+
+    col_start/width select a column window (used by the windowed decode).
     """
+    width = spec.width if width is None else width
     rows = jnp.arange(spec.height, dtype=jnp.float32)
-    cols = jnp.arange(spec.width, dtype=jnp.float32)
+    cols = jnp.arange(width, dtype=jnp.float32) + col_start
     theta = (cols + spec.x_min) * spec.res_h_rad  # (W,)
     phi = (rows + spec.y_min) * spec.res_v_rad  # (H,)
-    theta = jnp.broadcast_to(theta[None, :], (spec.height, spec.width))
-    phi = jnp.broadcast_to(phi[:, None], (spec.height, spec.width))
+    theta = jnp.broadcast_to(theta[None, :], (spec.height, width))
+    phi = jnp.broadcast_to(phi[:, None], (spec.height, width))
     return theta, phi
 
 
-def pixel_points(image: jax.Array, spec: RangeViewSpec):
+def pixel_points(image: jax.Array, spec: RangeViewSpec, col_start=0):
     """Back-project every pixel to 3D: p = (d cos t, -d sin t, height).
 
-    `image` is (H, W, >=2) with channel 0 = distance, 1 = height.
+    `image` is (H, W', >=2) with channel 0 = distance, 1 = height.
     """
-    theta, _ = pixel_angles(spec)
+    theta, _ = pixel_angles(spec, col_start, image.shape[1])
     d = image[..., 0]
     h = image[..., 1]
     return jnp.stack([d * jnp.cos(theta), -d * jnp.sin(theta), h], axis=-1)
 
 
-def pixel_rotations(spec: RangeViewSpec):
-    """R = Rz(theta) @ Ry(phi) per pixel: (H, W, 3, 3)."""
-    theta, phi = pixel_angles(spec)
+def pixel_rotations(spec: RangeViewSpec, col_start=0, width: int | None = None):
+    """R = Rz(theta) @ Ry(phi) per pixel: (H, W', 3, 3)."""
+    theta, phi = pixel_angles(spec, col_start, width)
     return jnp.einsum("hwij,hwjk->hwik", rot_z(theta), rot_y(phi), precision="highest")
 
 
@@ -108,18 +111,20 @@ def encode_label(
 
 
 def decode_corners(
-    reg: jax.Array,  # (H, W, 24) predicted local-frame corner offsets
-    image: jax.Array,  # (H, W, >=2) distance/height channels
+    reg: jax.Array,  # (H, W', 24) predicted local-frame corner offsets
+    image: jax.Array,  # (H, W', >=2) distance/height channels
     spec: RangeViewSpec = RangeViewSpec(),
+    col_start=0,
 ) -> jax.Array:
-    """Invert encode_label over every pixel: (H, W, 8, 3) world-frame corners.
+    """Invert encode_label over every pixel: (H, W', 8, 3) world-frame corners.
 
-    c = R c' + p  (predict.py:118-131), batched over the image.
+    c = R c' + p  (predict.py:118-131), batched over the image. col_start
+    offsets the azimuth when reg/image are a column window of the full view.
     """
     h, w = reg.shape[:2]
     c_prime = reg.reshape(h, w, 8, 3)
-    p = pixel_points(image, spec)
-    rot = pixel_rotations(spec)
+    p = pixel_points(image, spec, col_start)
+    rot = pixel_rotations(spec, col_start, w)
     c = jnp.einsum("hwij,hwkj->hwki", rot, c_prime, precision="highest") + p[:, :, None, :]
     return c
 

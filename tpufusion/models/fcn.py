@@ -85,8 +85,13 @@ class FCN(nnx.Module):
                 4 + cfg.num_corner_outputs, cfg.num_corner_outputs, (vs, 4)
             )
 
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def _trunk(self, x: jax.Array, train: bool):
+        """Shared encoder + deconv6a head; crops are derived from the input
+        width so both the lidar (1801 -> crop 3) and camera (1368 -> crop 4)
+        geometries come out right, like the per-source Cropping2D choices at
+        model.py:132-141."""
         cfg = self.cfg
+        w = x.shape[2]
         if cfg.batch_norm:
             x = self.norm(x, use_running_average=not train)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 3), (0, 0)))
@@ -97,32 +102,31 @@ class FCN(nnx.Module):
         d4 = nnx.relu(self.deconv4(c3))
         cat4 = jnp.concatenate([c2, d4], axis=-1)
 
-        d5a = nnx.relu(self.deconv5a(cat4))[:, :, 1:, :]  # crop left 1
+        crop5 = 2 * c2.shape[2] - c1.shape[2]  # 1 when conv1 width is odd
+        crop6 = 4 * c1.shape[2] - w  # 3 for lidar, 4 for camera
+
+        del crop6  # documented above; slicing to w performs the right crop
+        d5a = nnx.relu(self.deconv5a(cat4))[:, :, crop5:, :]
         cat5a = jnp.concatenate([c1, d5a], axis=-1)
-        d6a = self.deconv6a(cat5a)[:, :, :-3, :]  # crop right 3
+        d6a = self.deconv6a(cat5a)[:, :, :w, :]
+        return d6a, (c1, cat4, crop5, w)
+
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        cfg = self.cfg
+        d6a, (c1, cat4, crop5, w) = self._trunk(x, train)
         probs = jax.nn.softmax(d6a.astype(jnp.float32), axis=-1)
         probs = jnp.clip(probs, _KERAS_EPSILON, 1.0)
 
         if not cfg.use_regression:
             return probs
 
-        d5b = nnx.relu(self.deconv5b(cat4))[:, :, 1:, :]
+        d5b = nnx.relu(self.deconv5b(cat4))[:, :, crop5:, :]
         cat5b = jnp.concatenate([c1, d5b], axis=-1)
-        d6b = nnx.relu(self.deconv6b(cat5b))[:, :, :-3, :].astype(jnp.float32)
-        return jnp.concatenate([probs, d6b], axis=-1)
+        d6b = nnx.relu(self.deconv6b(cat5b))[:, :, :w, :]
+        return jnp.concatenate([probs, d6b.astype(jnp.float32)], axis=-1)
 
     def features(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         """Pre-softmax deconv6a feature map, the tap the fusion net consumes
         (`modules/lidar/train/train_fcn.py:371-395`)."""
-        cfg = self.cfg
-        if cfg.batch_norm:
-            x = self.norm(x, use_running_average=not train)
-        x = jnp.pad(x, ((0, 0), (0, 0), (0, 3), (0, 0)))
-        c1 = nnx.relu(self.conv1(x))
-        c2 = nnx.relu(self.conv2(c1))
-        c3 = nnx.relu(self.conv3(c2))
-        d4 = nnx.relu(self.deconv4(c3))
-        cat4 = jnp.concatenate([c2, d4], axis=-1)
-        d5a = nnx.relu(self.deconv5a(cat4))[:, :, 1:, :]
-        cat5a = jnp.concatenate([c1, d5a], axis=-1)
-        return self.deconv6a(cat5a)[:, :, :-3, :]
+        d6a, _ = self._trunk(x, train)
+        return d6a

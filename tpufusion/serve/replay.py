@@ -1,0 +1,116 @@
+"""Streaming replay harness with latency/throughput accounting.
+
+The latency-critical serving loop the BASELINE metric targets (config 2:
+64-frame chunked replay through projection+FCN+decode). Replaces rosbag
+playback + the ROS node (`modules/lidar/process/rosplayback_with_lidar_and_
+tf.sh`, which had to replay at 0.05x because the CPU pipeline couldn't keep
+up) with a host loop over stored frames feeding micro-batches to one fused
+device graph, staying a batch ahead so H2D overlaps compute.
+
+Profiling hooks mirror the reference's cProfile-behind-a-flag
+(`lidar_predict.py:21-23`): pass profile_dir to capture a jax.profiler
+trace of the steady-state window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+from flax import nnx
+
+from tpufusion.config import PipelineConfig, DEFAULT
+from tpufusion.decode.decode import decode_batch
+from tpufusion.geometry.range_view import range_view_project_batch
+from tpufusion.models.fcn import FCN
+
+
+@dataclasses.dataclass
+class LatencyStats:
+    batch_seconds: list
+    batch_size: int
+
+    @property
+    def frames(self) -> int:
+        return len(self.batch_seconds) * self.batch_size
+
+    def percentile_ms(self, q: float) -> float:
+        per_frame = np.asarray(self.batch_seconds) / self.batch_size
+        return float(np.percentile(per_frame, q) * 1e3)
+
+    @property
+    def throughput_fps(self) -> float:
+        return self.frames / float(np.sum(self.batch_seconds))
+
+    def summary(self) -> dict:
+        return {
+            "frames": self.frames,
+            "fps": round(self.throughput_fps, 1),
+            "p50_ms_per_frame": round(self.percentile_ms(50), 3),
+            "p99_ms_per_frame": round(self.percentile_ms(99), 3),
+        }
+
+
+class ReplayHarness:
+    def __init__(
+        self,
+        cfg: PipelineConfig = DEFAULT,
+        model: FCN | None = None,
+        chunk: int = 64,
+    ):
+        self.cfg = cfg
+        self.chunk = chunk
+        self.model = model or FCN(cfg.model, in_channels=3, rngs=nnx.Rngs(0))
+        graphdef, state = nnx.split(self.model)
+        self._state = state
+        spec, dcfg = cfg.range_view, cfg.decode
+
+        @jax.jit
+        def _step(state, points):
+            mdl = nnx.merge(graphdef, state)
+            images = range_view_project_batch(points, spec)
+            preds = mdl(images, train=False)
+            out = decode_batch(preds, images, spec, dcfg)
+            return out["pose"], out["found"]
+
+        self._step = _step
+
+    def run(
+        self,
+        points: np.ndarray,  # (F, N, 4) stored frames
+        timestamps: np.ndarray | None = None,
+        profile_dir: str | None = None,
+    ) -> tuple[np.ndarray, np.ndarray, LatencyStats]:
+        f = len(points)
+        nb = f // self.chunk
+        assert nb > 0, "need at least one full chunk"
+        poses = np.zeros((nb * self.chunk, 7), np.float32)
+        founds = np.zeros((nb * self.chunk,), bool)
+
+        # warm the executable (compile outside the timed region)
+        warm = jax.device_put(points[: self.chunk])
+        p, fd = self._step(self._state, warm)
+        _ = np.asarray(p[0, 0])
+
+        if profile_dir is not None:
+            jax.profiler.start_trace(profile_dir)
+        times = []
+        pending = jax.device_put(points[: self.chunk])
+        for b in range(nb):
+            t0 = time.perf_counter()
+            batch = pending
+            if b + 1 < nb:  # stay one transfer ahead
+                pending = jax.device_put(
+                    points[(b + 1) * self.chunk : (b + 2) * self.chunk]
+                )
+            p, fd = self._step(self._state, batch)
+            lo = b * self.chunk
+            poses[lo : lo + self.chunk] = np.asarray(p)
+            founds[lo : lo + self.chunk] = np.asarray(fd)
+            times.append(time.perf_counter() - t0)
+        if profile_dir is not None:
+            jax.profiler.stop_trace()
+
+        return poses, founds, LatencyStats(times, self.chunk)

@@ -10,6 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# the axon sitecustomize calls jax.config.update("jax_platforms",
+# "axon,cpu") in every interpreter, overriding the env var — force CPU
+# back after the fact (before any backend initializes)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,157 @@
+"""Camera model, calibration, ETL, dataset diff, invariant mask, analyzer."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from tpufusion.geometry.camera import CameraModel, euler_matrix, rgb_onto_bev
+from tpufusion.tools.calibrate import calibrate, reprojection_error
+from tpufusion.tools.datadiff import compare_summaries, stream_summary
+from tpufusion.tools.invariant_mask import build_invariant_mask
+from tpufusion.tools.analyze import polar_histogram
+
+
+def _demo_camera(tmp_path):
+    cam_yaml = {
+        "image_width": 640,
+        "image_height": 480,
+        "camera_matrix": {"data": [500, 0, 320, 0, 500, 240, 0, 0, 1]},
+        "distortion_coefficients": {"data": [0, 0, 0, 0, 0]},
+        "rectification_matrix": {"data": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+        "projection_matrix": {"data": [500, 0, 320, 0, 0, 500, 240, 0, 0, 0, 1, 0]},
+        "distortion_model": "plumb_bob",
+    }
+    path = tmp_path / "cam.yaml"
+    path.write_text(yaml.dump(cam_yaml))
+    return CameraModel().load_camera_calibration(str(path))
+
+
+def test_camera_projection_identity_extrinsic(tmp_path):
+    cam = _demo_camera(tmp_path)
+    # point straight ahead on the optical axis -> principal point
+    uv = cam.project_lidar_to_pixels(np.array([[0.0, 0.0, 5.0]]))
+    np.testing.assert_allclose(uv[0], [320.0, 240.0], atol=1e-9)
+    uv = cam.project_lidar_to_pixels(np.array([[1.0, 0.0, 5.0]]))
+    np.testing.assert_allclose(uv[0], [320.0 + 100.0, 240.0], atol=1e-9)
+
+
+def test_camera_extrinsic_translation(tmp_path):
+    cam = _demo_camera(tmp_path)
+    cam.set_extrinsic_from_euler([0, 0, 0], [0.5, 0, 0])
+    uv = cam.project_lidar_to_pixels(np.array([[0.0, 0.0, 5.0]]))
+    np.testing.assert_allclose(uv[0], [320.0 + 50.0, 240.0], atol=1e-9)
+
+
+def test_calibration_recovers_transform(tmp_path):
+    cam = _demo_camera(tmp_path)
+    true = np.array([0.2, -0.1, 0.3, 0.4, -0.2, 0.1])
+    cam_true = _demo_camera(tmp_path)
+    cam_true.set_extrinsic_from_euler(true[:3], true[3:])
+    rng = np.random.default_rng(0)
+    pts = np.stack(
+        [rng.uniform(-3, 3, 12), rng.uniform(-2, 2, 12), rng.uniform(4, 12, 12)], 1
+    )
+    uvs = cam_true.project_lidar_to_pixels(pts)
+    result = calibrate(
+        cam, pts, uvs,
+        bounds=[(-1, 1)] * 3 + [(-1, 1)] * 3,
+        accept_px=0.5, max_restarts=30, seed=1,
+    )
+    assert result["accepted"], result
+    err = reprojection_error(
+        np.asarray(result["rotations"] + result["translation"]), cam, pts, uvs
+    )
+    assert err < 0.5
+
+
+def test_rgb_onto_bev(tmp_path):
+    cam = _demo_camera(tmp_path)
+    # lidar (x fwd, y left, z up) -> camera (z fwd, x right, y down)
+    cam.extrinsic = np.array(
+        [
+            [0.0, -1.0, 0.0, 0.0],
+            [0.0, 0.0, -1.0, 0.0],
+            [1.0, 0.0, 0.0, 0.0],
+            [0.0, 0.0, 0.0, 1.0],
+        ]
+    )
+    img = np.arange(1, 640 * 480 + 1, dtype=np.float32).reshape(480, 640, 1)
+    out = rgb_onto_bev(img, cam, bev_nx=100, bev_ny=100,
+                       max_range=20.0, res_x=0.4, res_y=0.4)
+    assert out.shape == (100, 100, 1)
+    assert (out > 0).any()  # forward cells project into the image
+    # cells behind the sensor never project
+    painted = (out > 0)[::-1, ::-1][..., 0]  # undo the flip: index = grid
+    assert not painted[:50].any()  # x < 0 half
+
+
+def test_stream_summary_and_diff():
+    a = {"lidar": stream_summary(np.arange(10) * 100_000_000)}
+    b = {"lidar": stream_summary(np.arange(10) * 100_000_000)}
+    assert compare_summaries(a, b) == []
+    c = {"lidar": stream_summary(np.arange(5) * 200_000_000)}
+    diffs = compare_summaries(a, c)
+    assert any(d[1] == "count" for d in diffs)
+
+
+def test_invariant_mask():
+    rng = np.random.default_rng(0)
+    base = rng.random((8, 16, 3)).astype(np.float32)
+    frames = []
+    for _ in range(5):
+        f = base.copy()
+        f[:4] = rng.random((4, 16, 3))  # top half always changes
+        frames.append(f)
+    mask = build_invariant_mask(frames)
+    assert mask[4:].all()
+    assert not mask[:4].all()
+
+
+def test_polar_histogram():
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, 0.0]])
+    hist, az_e, r_e = polar_histogram(centers, n_azimuth=4, n_range=2)
+    assert hist.sum() == 3
+
+
+def test_etl_roundtrip(tmp_path, rng):
+    import jax
+
+    from tests.conftest import synthetic_cloud
+    from tpufusion.config import RangeViewSpec
+    from tpufusion.data.etl import extract_dataset, load_extracted
+    from tpufusion.eval.tracklet_xml import Tracklet, TrackletCollection
+
+    spec = RangeViewSpec(res_h_deg=1.8)
+    frames = np.stack([synthetic_cloud(rng, n=1500) for _ in range(6)])
+    lidar_ts = np.arange(6) * 100_000_000 + 10
+    cam_ts = np.arange(6) * 100_000_000 + 55
+
+    t = Tracklet("Car", l=4.2, w=1.6, h=1.5)
+    for i in range(6):
+        t.poses.append(
+            {"tx": 10.0 + i, "ty": -3.0, "tz": -0.7, "rx": 0, "ry": 0, "rz": 0.1}
+        )
+    xml = tmp_path / "gt.xml"
+    TrackletCollection([t]).write_xml(str(xml))
+
+    out = tmp_path / "ds"
+    report = extract_dataset(
+        str(out), frames, lidar_ts,
+        tracklet_xml=str(xml), camera_timestamps=cam_ts, spec=spec,
+    )
+    assert report["frames"] == 6 and report["lidar_gt"] == 6
+    data = load_extracted(str(out))
+    assert data["images"].shape == (6, spec.height, spec.width, 3)
+    assert os.path.exists(out / "obs_poses_camera.csv")
+
+    # GT at a lidar timestamp between camera stamps is interpolated
+    from tpufusion.data.registry import load_pose_csv
+
+    rows = load_pose_csv(str(out / "obs_poses_interp_transform.csv"))
+    assert len(rows) == 6
+    # lidar ts 110 sits between camera 55 (tx=11) wait: pose i at cam_ts[i]
+    # tx(t) linear: tx = 10 + (t - 55)/1e8; at t=110+1e8? check second row
+    want_tx = 10.0 + (float(lidar_ts[1]) - 55.0) / 1e8
+    assert abs(rows[1]["tx"] - want_tx) < 1e-6

@@ -1,0 +1,229 @@
+"""tpufusion command-line interface.
+
+One typed entry point replacing the reference's per-script argparse CLIs
+(train.py, predict.py, extract_rosbag.py, generate_tracklet_predictions.py,
+rosdiff.py, analyze.py, the calibration standalone). Run:
+
+    python -m tpufusion.cli <command> --help
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _cmd_train(args):
+    from flax import nnx
+
+    from tpufusion.config import DEFAULT, LossConfig, TrainConfig
+    from tpufusion.data.etl import load_extracted
+    from tpufusion.data.pipeline import BatchPipeline
+    from tpufusion.data.registry import load_pose_csv, read_registry
+    from tpufusion.train.stats import population_weights
+    from tpufusion.train.trainer import Trainer
+
+    import dataclasses
+    import os
+
+    def load_dirset(ds):
+        data = load_extracted(ds.dir)
+        poses = load_pose_csv(
+            os.path.join(ds.dir, "obs_poses_interp_transform.csv")
+        )
+        by_ts = {p["timestamp"]: p for p in poses}
+        rows = [by_ts[int(t)] for t in data["timestamps"] if int(t) in by_ts]
+        keep = [i for i, t in enumerate(data["timestamps"]) if int(t) in by_ts]
+        size = np.asarray(ds.obstacle_size, np.float32)
+        return {
+            "images": data["images"][keep],
+            "center": np.asarray(
+                [[r["tx"], r["ty"], r["tz"]] for r in rows], np.float32
+            ),
+            "yaw": np.asarray([r["rz"] for r in rows], np.float32),
+            "size": np.tile(size, (len(rows), 1)),
+        }
+
+    parts = [load_dirset(ds) for ds in read_registry(args.train_file, args.dir_prefix)]
+    train_data = {
+        k: np.concatenate([p[k] for p in parts]) for k in parts[0]
+    }
+    stats = population_weights(
+        train_data["center"], train_data["size"], train_data["yaw"]
+    )
+    print("population stats:", stats, file=sys.stderr)
+    cfg = DEFAULT.replace(
+        loss=LossConfig(
+            obj_to_bkg_ratio=stats["positive_to_negative_ratio"]
+            * DEFAULT.train.k_negative_sample_ratio_weight,
+            avg_obj_size=stats["average_area"],
+        ),
+        train=dataclasses.replace(
+            DEFAULT.train,
+            batch_size=args.batch_size,
+            epochs=args.epochs,
+            learning_rate=args.lr,
+        ),
+    )
+    trainer = Trainer(cfg, outdir=args.outdir)
+    if args.resume:
+        trainer.resume()
+    val_pipe = None
+    if args.val_file:
+        vparts = [
+            load_dirset(ds) for ds in read_registry(args.val_file, args.dir_prefix)
+        ]
+        val_data = {k: np.concatenate([p[k] for p in vparts]) for k in vparts[0]}
+        val_pipe = BatchPipeline(val_data, cfg.train.batch_size, shuffle=False)
+    trainer.fit(
+        BatchPipeline(train_data, cfg.train.batch_size, seed=cfg.train.seed),
+        val_pipe,
+    )
+
+
+def _cmd_predict(args):
+    from flax import nnx
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.models.fcn import FCN
+    from tpufusion.predict import predict_dataset_dir
+    from tpufusion.train.checkpoint import CheckpointManager
+
+    model = FCN(DEFAULT.model, in_channels=3, rngs=nnx.Rngs(0))
+    if args.checkpoint:
+        CheckpointManager(args.checkpoint).restore(model)
+    report = predict_dataset_dir(
+        model, args.dataset, args.output_dir, batch=args.batch_size
+    )
+    print(json.dumps(report))
+
+
+def _cmd_submit(args):
+    from tpufusion.eval.submission import generate_submission
+
+    meta = {"l": args.l, "w": args.w, "h": args.h}
+    offset = tuple(args.offset) if args.offset else None
+    generate_submission(
+        args.predictions, args.camera_timestamps, meta, args.output, offset
+    )
+    print(json.dumps({"output": args.output}))
+
+
+def _cmd_score(args):
+    from tpufusion.eval.scoring import score_poses
+
+    # CSV columns: timestamp tx ty tz rx ry rz l w h
+    # -> pose (tx ty tz rz l w h) = columns 1,2,3,6,7,8,9
+    cols = (1, 2, 3, 6, 7, 8, 9)
+    preds = np.loadtxt(args.predictions, delimiter=",", skiprows=1, usecols=cols)
+    truths = np.loadtxt(args.truth, delimiter=",", skiprows=1, usecols=cols)
+    print(json.dumps(score_poses(preds, truths)))
+
+
+def _cmd_extract(args):
+    from tpufusion.data.etl import extract_dataset
+
+    npz = np.load(args.input)
+    report = extract_dataset(
+        args.output_dir,
+        npz["points"],
+        npz["timestamps"],
+        tracklet_xml=args.tracklet,
+        camera_timestamps=npz.get("camera_timestamps"),
+    )
+    print(json.dumps(report))
+
+
+def _cmd_calibrate(args):
+    from tpufusion.tools.calibrate import calibrate_from_settings
+
+    print(json.dumps(calibrate_from_settings(args.settings, args.camera)))
+
+
+def _cmd_diff(args):
+    from tpufusion.tools.datadiff import diff_dirs
+
+    diffs = diff_dirs(args.dir_a, args.dir_b, args.rel_tol)
+    for d in diffs:
+        print(*d)
+    sys.exit(1 if diffs else 0)
+
+
+def _cmd_analyze(args):
+    from tpufusion.data.registry import load_pose_csv
+    from tpufusion.tools.analyze import save_polar_plot
+
+    rows = load_pose_csv(args.poses)
+    centers = np.asarray([[r["tx"], r["ty"]] for r in rows])
+    save_polar_plot(centers, args.output)
+    print(json.dumps({"frames": len(rows), "plot": args.output}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpufusion")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train the lidar FCN")
+    t.add_argument("--train_file", required=True)
+    t.add_argument("--val_file", default=None)
+    t.add_argument("--dir_prefix", default="")
+    t.add_argument("--outdir", default="./runs/lidar")
+    t.add_argument("--batch_size", type=int, default=64)
+    t.add_argument("--epochs", type=int, default=100)
+    t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--resume", action="store_true")
+    t.set_defaults(fn=_cmd_train)
+
+    pr = sub.add_parser("predict", help="batch inference -> pose CSV")
+    pr.add_argument("dataset")
+    pr.add_argument("--checkpoint", default=None)
+    pr.add_argument("--output_dir", default="./predictions")
+    pr.add_argument("--batch_size", type=int, default=32)
+    pr.set_defaults(fn=_cmd_predict)
+
+    sb = sub.add_parser("submit", help="pose CSV -> tracklet XML")
+    sb.add_argument("predictions")
+    sb.add_argument("camera_timestamps")
+    sb.add_argument("output")
+    sb.add_argument("--l", type=float, required=True)
+    sb.add_argument("--w", type=float, required=True)
+    sb.add_argument("--h", type=float, required=True)
+    sb.add_argument("--offset", type=float, nargs=3, default=None)
+    sb.set_defaults(fn=_cmd_submit)
+
+    sc = sub.add_parser("score", help="pose CSV vs truth CSV -> metrics")
+    sc.add_argument("predictions")
+    sc.add_argument("truth")
+    sc.set_defaults(fn=_cmd_score)
+
+    ex = sub.add_parser("extract", help="points NPZ -> dataset dir")
+    ex.add_argument("input")
+    ex.add_argument("output_dir")
+    ex.add_argument("--tracklet", default=None)
+    ex.set_defaults(fn=_cmd_extract)
+
+    ca = sub.add_parser("calibrate", help="SLSQP lidar->camera extrinsics")
+    ca.add_argument("settings")
+    ca.add_argument("camera")
+    ca.set_defaults(fn=_cmd_calibrate)
+
+    df = sub.add_parser("diff", help="compare two extracted dataset dirs")
+    df.add_argument("dir_a")
+    df.add_argument("dir_b")
+    df.add_argument("--rel_tol", type=float, default=0.05)
+    df.set_defaults(fn=_cmd_diff)
+
+    an = sub.add_parser("analyze", help="GT distribution polar histogram")
+    an.add_argument("poses")
+    an.add_argument("--output", default="gt_distribution.png")
+    an.set_defaults(fn=_cmd_analyze)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,52 @@ class CameraModel:
         return cv2.remap(raw, map1, map2, cv2.INTER_LINEAR)
 
 
+def camera_label_footprint(
+    center: np.ndarray,  # (3,) tx, ty, tz (lidar frame)
+    size: np.ndarray,  # (3,) l, w, h
+    camera: CameraModel,
+    image_hw: tuple[int, int],
+    crop_top: int = 430,
+    margin_frac: float = 0.25,
+) -> tuple[np.ndarray, tuple]:
+    """Camera-source training footprint.
+
+    Rebuilds `generate_camera_bb` / `generate_camera_label`
+    (`modules/lidar/train/encoder.py:240-327`, outer_rect method): project
+    the yaw-less 8-corner box + centroid into the camera, shift v by the
+    camera crop, take the bbox of the 4 corners farthest from the projected
+    centroid, dilate by a quarter of its extent, and rasterize a one-hot
+    (background, foreground) label.
+    """
+    tx, ty, tz = [float(v) for v in center]
+    l, w, h = [float(v) for v in size]
+    signs = np.array(
+        [
+            [-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1],
+            [1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1],
+        ],
+        float,
+    )
+    corners = np.array([tx, ty, tz]) + signs * np.array([l, w, h]) / 2.0
+    uv = camera.project_lidar_to_pixels(corners).astype(int)
+    cuv = camera.project_lidar_to_pixels(np.array([[tx, ty, tz]])).astype(int)[0]
+    d = np.linalg.norm(uv - cuv, axis=1).astype(int)
+    outer = uv[np.argsort(d, kind="stable")][-4:]
+    outer = outer.copy()
+    outer[:, 1] -= crop_top
+    ulx, uly = outer.min(axis=0)
+    lrx, lry = outer.max(axis=0)
+    mx = (lrx - ulx) // 4 if margin_frac == 0.25 else int((lrx - ulx) * margin_frac)
+    my = (lry - uly) // 4 if margin_frac == 0.25 else int((lry - uly) * margin_frac)
+    ulx, uly, lrx, lry = ulx - mx, uly - my, lrx + mx, lry + my
+
+    hh, ww = image_hw
+    label = np.zeros((hh, ww), np.float32)
+    label[max(uly, 0) : max(lry, 0), max(ulx, 0) : max(lrx, 0)] = 1.0
+    onehot = np.stack([1.0 - label, label], axis=-1)
+    return onehot, ((ulx, uly), (lrx, lry))
+
+
 def rgb_onto_bev(
     image: np.ndarray,  # (Hc, Wc, C) rectified camera image
     camera: CameraModel,

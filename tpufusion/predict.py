@@ -1,0 +1,86 @@
+"""Batch inference driver: dataset -> pose CSV + metadata.
+
+The new-framework counterpart of `modules/lidar/train/predict.py:383-531`:
+stream stored frames (extracted npz or reference-layout dirs) through the
+fused FCN+decode graph in fixed-size batches and write the prediction CSV
+(`objects_obs1_lidar_predictions.csv` schema) plus the mean-box-size
+metadata CSV. Unlike the reference, the whole per-frame decode runs on
+device; the host only pads the final partial batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from flax import nnx
+
+from tpufusion.config import PipelineConfig, DEFAULT
+from tpufusion.decode.decode import decode_batch
+from tpufusion.eval.submission import write_metadata_csv, write_predictions_csv
+from tpufusion.models.fcn import FCN
+from tpufusion.utils.logging import get_logger
+
+log = get_logger("predict")
+
+
+def predict_images(
+    model: FCN,
+    images: np.ndarray,  # (F, H, W, 3) range-view tensors
+    cfg: PipelineConfig = DEFAULT,
+    batch: int = 32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Returns (poses (F, 7), found (F,))."""
+    graphdef, state = nnx.split(model)
+    spec, dcfg = cfg.range_view, cfg.decode
+
+    @jax.jit
+    def step(state, imgs):
+        mdl = nnx.merge(graphdef, state)
+        preds = mdl(imgs, train=False)
+        out = decode_batch(preds, imgs, spec, dcfg)
+        return out["pose"], out["found"]
+
+    f = len(images)
+    poses = np.zeros((f, 7), np.float32)
+    found = np.zeros((f,), bool)
+    for lo in range(0, f, batch):
+        chunk = images[lo : lo + batch]
+        pad = batch - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        p, fd = step(state, jax.numpy.asarray(chunk))
+        poses[lo : lo + batch - pad] = np.asarray(p)[: batch - pad]
+        found[lo : lo + batch - pad] = np.asarray(fd)[: batch - pad]
+    log.info("predicted %d frames, %d detections", f, int(found.sum()))
+    return poses, found
+
+
+def predict_dataset_dir(
+    model: FCN,
+    dataset_dir: str,
+    output_dir: str,
+    cfg: PipelineConfig = DEFAULT,
+    batch: int = 32,
+) -> dict:
+    """Extracted-dataset dir (lidar_frames.npz) -> prediction CSVs."""
+    from tpufusion.data.etl import load_extracted
+
+    data = load_extracted(dataset_dir)
+    poses, found = predict_images(model, data["images"], cfg, batch)
+    os.makedirs(output_dir, exist_ok=True)
+    pred_csv = os.path.join(output_dir, "objects_obs1_lidar_predictions.csv")
+    meta_csv = os.path.join(output_dir, "objects_obs1_metadata.csv")
+    write_predictions_csv(
+        [(p[0], p[1], p[2], p[3], p[4], p[5], p[6]) for p in poses],
+        list(map(int, data["timestamps"])),
+        pred_csv,
+    )
+    write_metadata_csv(poses, meta_csv)
+    return {
+        "frames": len(poses),
+        "detections": int(found.sum()),
+        "predictions_csv": pred_csv,
+        "metadata_csv": meta_csv,
+    }

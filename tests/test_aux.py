@@ -1,0 +1,146 @@
+"""Radar, tracker, visualization, PR curves, cloud augmentation, fusion
+training driver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import nnx
+
+from tpufusion.data.radar import RadarTrack, radar_features
+from tpufusion.serve.tracker import PoseTracker
+
+
+def test_radar_to_xyz():
+    t = RadarTrack(timestamp=0, range=20.0, angle=0.0)
+    xyz = t.to_xyz()
+    np.testing.assert_allclose(xyz, [23.8, 0.0, -1.5494])
+    t2 = RadarTrack(timestamp=0, range=10.0, angle=90.0)
+    np.testing.assert_allclose(t2.to_xyz(), [3.8, -10.0, -1.5494], atol=1e-12)
+    feats = radar_features([t, t2])
+    assert feats.shape == (2, 2) and feats[1, 1] == 90.0
+
+
+def test_tracker_smooths_and_coasts():
+    f = 40
+    true = np.zeros((f, 7))
+    true[:, 0] = 10.0 + 0.1 * np.arange(f)  # moving along x
+    true[:, 4:7] = [4.0, 1.6, 1.5]
+    rng = np.random.default_rng(0)
+    noisy = true + rng.normal(0, 0.05, true.shape)
+    found = np.ones(f, bool)
+    found[15:18] = False  # dropout window
+    noisy[20] += 8.0  # one wild outlier (gated away)
+
+    tracked = PoseTracker(dt=1.0).run(noisy, found)
+    # after warmup the track follows the truth closely, through the gap
+    err = np.abs(tracked[5:, 0] - true[5:, 0])
+    assert err.max() < 1.0, err.max()
+    assert (tracked[16, 0] != 0.0), "coasted frame should carry a pose"
+
+
+def test_visualize_renders(tmp_path, rng):
+    from tests.conftest import synthetic_cloud
+    from tpufusion.config import BevSpec, RangeViewSpec
+    from tpufusion.geometry.bev import bev_rasterize
+    from tpufusion.geometry.range_view import range_view_project
+    from tpufusion.tools import visualize as viz
+
+    spec = RangeViewSpec(res_h_deg=1.8)
+    cloud = synthetic_cloud(rng, n=2000, with_vehicle_at=(12.0, -3.0, -0.7))
+    img = np.asarray(range_view_project(jnp.asarray(cloud), spec))
+    canvas = viz.render_range_view(
+        img, center=(12.0, -3.0, -0.7), size=(4.2, 1.6, 1.5), yaw=0.0, spec=spec
+    )
+    assert canvas.shape == (spec.height, spec.width, 3)
+    viz.save(str(tmp_path / "rv.png"), canvas)
+
+    bev_spec = BevSpec()
+    bev = np.asarray(bev_rasterize(jnp.asarray(cloud), bev_spec))
+    canvas2 = viz.render_bev(
+        bev, center=(12.0, -3.0, -0.7), size=(4.2, 1.6, 1.5), yaw=0.0, spec=bev_spec
+    )
+    assert canvas2.shape[2] == 3
+
+    mask = viz.render_class_mask(img[..., 0] > 0, bbox=(10, 5, 60, 20))
+    assert mask.shape == (spec.height, spec.width, 3)
+
+
+def test_pr_curve_artifacts(tmp_path):
+    from tpufusion.train.pr_curves import binned_pr, plot_pr_curves
+    from tpufusion.train.trainer import MetricHistory
+
+    h = MetricHistory()
+    rng = np.random.default_rng(0)
+    for i in range(10):
+        h.record_epoch(
+            {"loss": 1.0 / (i + 1), "precision": i / 10, "recall": i / 12},
+            {"loss": 1.1 / (i + 1), "precision": i / 11, "recall": i / 13},
+        )
+    csv_path = tmp_path / "pr.csv"
+    h.write_pr_csv(str(csv_path))
+    paths = plot_pr_curves(str(csv_path), str(tmp_path / "out"))
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
+    centers, mins, means, maxs = binned_pr(
+        rng.random(100), rng.random(100), n_bins=10
+    )
+    assert (mins <= means).all() and (means <= maxs).all()
+
+
+def test_transform_point_cloud():
+    from tpufusion.data.augment import transform_point_cloud
+
+    pts = jnp.asarray([[1.0, 0.0, 0.5, 9.0], [0.0, 2.0, -0.5, 3.0]])
+    out, (angle, tx, ty) = transform_point_cloud(jax.random.PRNGKey(0), pts)
+    out = np.asarray(out)
+    # z and intensity untouched
+    np.testing.assert_allclose(out[:, 2:], np.asarray(pts[:, 2:]))
+    # distances between points preserved under rigid transform
+    d0 = np.linalg.norm(np.asarray(pts[0, :2]) - np.asarray(pts[1, :2]))
+    d1 = np.linalg.norm(out[0, :2] - out[1, :2])
+    np.testing.assert_allclose(d0, d1, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_fusion_training_driver():
+    from tpufusion.config import CameraConfig, ModelConfig
+    from tpufusion.models.fusion import FusionNet
+    from tpufusion.train.fusion_trainer import (
+        build_fusion_batches,
+        predict_fusion,
+        train_fusion,
+    )
+
+    cam_cfg = CameraConfig(width=201, height=64, channels=1)
+    net = FusionNet(
+        lidar_model=ModelConfig(),
+        camera_model=ModelConfig(vertical_stride=2, use_regression=False),
+        camera=cam_cfg,
+        lidar_hw=(32, 201),
+        rngs=nnx.Rngs(0),
+    )
+    f = 12
+    rng = np.random.default_rng(0)
+    data = build_fusion_batches(
+        cam_images=rng.random((f, 64, 201, 1)).astype(np.float32),
+        cam_ts=np.arange(f) * 100 + 5,
+        cam_poses=np.tile([5.0, 1.0, -0.5, 0.3], (f, 1)).astype(np.float32),
+        lidar_images=rng.random((f, 32, 201, 3)).astype(np.float32),
+        lidar_ts=np.arange(f) * 100,
+        radar_feats=np.tile([10.0, 0.1], (f, 1)).astype(np.float32),
+        radar_ts=np.arange(f) * 100 + 50,
+    )
+    assert data["lidar"].shape[0] == f
+    losses = train_fusion(net, data, epochs=4, batch_size=4, lock_camera=True)
+    assert losses[-1] < losses[0]
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        out_csv = os.path.join(d, "fusion.csv")
+        predict_fusion(net, data, list(range(f)), out_csv, batch_size=4)
+        with open(out_csv) as fh:
+            lines = fh.read().strip().splitlines()
+        assert len(lines) == f + 1

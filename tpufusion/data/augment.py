@@ -42,6 +42,33 @@ def roll_frame(image: jax.Array, label: jax.Array, shift: jax.Array):
     )
 
 
+def transform_point_cloud(
+    key: jax.Array,
+    points: jax.Array,  # (N, >=3)
+    max_rotation: float = jnp.pi,
+    max_translation: float = 3.0,
+):
+    """Random z-rotation + xy-translation of a cloud.
+
+    Point-cloud-space counterpart of `modules/lidar/common/
+    transform_point_cloud.py:15-36` (which the reference left unwired —
+    training augments in image space instead; both are available here).
+    Returns (points', (angle, tx, ty)).
+    """
+    k1, k2 = jax.random.split(key)
+    angle = jax.random.uniform(k1, (), minval=-max_rotation, maxval=max_rotation)
+    txy = jax.random.uniform(
+        k2, (2,), minval=-max_translation, maxval=max_translation
+    )
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    x = points[:, 0] * c - points[:, 1] * s + txy[0]
+    y = points[:, 0] * s + points[:, 1] * c + txy[1]
+    out = jnp.concatenate(
+        [x[:, None], y[:, None], points[:, 2:]], axis=1
+    )
+    return out, (angle, txy[0], txy[1])
+
+
 def augment_batch(
     key: jax.Array,
     images: jax.Array,  # (B, H, W, C)

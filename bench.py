@@ -21,6 +21,7 @@ Prints ONE JSON line on stdout; details go to stderr.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import sys
 import time
@@ -55,7 +56,7 @@ def force(tree):
 def main():
     cfg = DEFAULT
     spec = cfg.range_view
-    model = FCN(cfg.model, in_channels=3, rngs=nnx.Rngs(0))
+    model = FCN(dataclasses.replace(cfg.model, dtype="bfloat16"), in_channels=3, rngs=nnx.Rngs(0))
     # trained-detector output statistics: bias softmax toward background
     model.deconv6a.bias[:] = jnp.asarray([2.0, -2.0])
     graphdef, state = nnx.split(model)

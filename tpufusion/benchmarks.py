@@ -16,6 +16,7 @@ per config on stdout.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 
@@ -41,7 +42,7 @@ def log(*a):
 
 
 def _model():
-    model = FCN(CFG.model, in_channels=3, rngs=nnx.Rngs(0))
+    model = FCN(dataclasses.replace(CFG.model, dtype="bfloat16"), in_channels=3, rngs=nnx.Rngs(0))
     model.deconv6a.bias[:] = jnp.asarray([2.0, -2.0])  # trained-net sparsity
     return nnx.split(model)
 

@@ -68,6 +68,36 @@ def nearest_wins_scatter(
     return jnp.where(occupied, winner, 0), occupied
 
 
+def nearest_wins_scatter_packed(
+    pixel_ids: jax.Array,
+    rank_key: jax.Array,
+    valid: jax.Array,
+    num_pixels: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Fast variant: ONE scatter-min over a packed (quantized-key, index)
+    int32. The key keeps the top (31 - ceil(log2 N)) bits of the sortable
+    float encoding, so two points whose L2 norms agree to ~2^-9 relative
+    (for N=32k) may resolve to the lower index instead of the true nearer
+    point — a bounded winner-selection tolerance traded for dropping the
+    second scatter pass and the min-bits gather. Use for throughput paths;
+    `nearest_wins_scatter` is the exact reference semantics.
+    """
+    n = pixel_ids.shape[0]
+    idx_bits = max((n - 1).bit_length(), 1)
+    safe_ids = jnp.where(valid, pixel_ids, 0)
+    # drop the low idx_bits of the 31-bit float encoding to make room
+    qkey = _sortable_bits(rank_key) >> idx_bits
+    idx = jnp.arange(n, dtype=jnp.int32)
+    packed = (qkey << idx_bits) | idx
+    packed = jnp.where(valid, packed, _INT32_MAX)
+
+    out = jnp.full((num_pixels,), _INT32_MAX, dtype=jnp.int32)
+    out = out.at[safe_ids].min(packed)
+    occupied = out != _INT32_MAX
+    winner = out & ((1 << idx_bits) - 1)
+    return jnp.where(occupied, winner, 0), occupied
+
+
 def scatter_count(
     pixel_ids: jax.Array, valid: jax.Array, num_pixels: int
 ) -> jax.Array:

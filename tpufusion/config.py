@@ -107,6 +107,10 @@ class ModelConfig:
     use_regression: bool = True
     vertical_stride: int = 1  # 1 for lidar, 2 for camera
     batch_norm: bool = True  # feature-wise BN on the input
+    # per-pixel-position BN over the flattened image (the reference's
+    # USE_SAMPLE_WISE_BATCH_NORMALIZATION variant, model.py:110-113; the
+    # shipped lidar_model.h5 uses this flavor)
+    sample_wise_bn: bool = False
     dtype: str = "float32"  # compute dtype for conv stack ("bfloat16" on TPU)
 
 

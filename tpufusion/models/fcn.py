@@ -42,11 +42,50 @@ def _uniform_init(scale: float = 0.05):
 _KERAS_EPSILON = 1e-7
 
 
+class SampleWiseBN(nnx.Module):
+    """Per-pixel-position batch norm over the flattened image.
+
+    The reference's USE_SAMPLE_WISE_BATCH_NORMALIZATION path reshapes to
+    (B, H*W, C) and batch-normalizes axis=1 (`model.py:110-113`): one
+    statistic per pixel position, shared across channels. The shipped
+    lidar_model.h5 carries this flavor (57632-long normalize params).
+    Inference applies stored moving statistics; training uses batch stats
+    over the batch and channel axes like Keras.
+    """
+
+    def __init__(self, num_positions: int, epsilon: float = 1e-3,
+                 momentum: float = 0.99):
+        self.epsilon = epsilon
+        self.momentum = momentum
+        self.scale = nnx.Param(jnp.ones((num_positions,), jnp.float32))
+        self.bias = nnx.Param(jnp.zeros((num_positions,), jnp.float32))
+        self.mean = nnx.BatchStat(jnp.zeros((num_positions,), jnp.float32))
+        self.var = nnx.BatchStat(jnp.ones((num_positions,), jnp.float32))
+
+    def __call__(self, x: jax.Array, *, use_running_average: bool = True):
+        b, h, w, c = x.shape
+        flat = x.reshape(b, h * w, c)
+        if use_running_average:
+            mean, var = self.mean[...], self.var[...]
+        else:
+            mean = jnp.mean(flat, axis=(0, 2))
+            var = jnp.var(flat, axis=(0, 2))
+            m = self.momentum
+            self.mean[...] = m * self.mean[...] + (1 - m) * mean
+            self.var[...] = m * self.var[...] + (1 - m) * var
+        y = (flat - mean[None, :, None]) * jax.lax.rsqrt(
+            var[None, :, None] + self.epsilon
+        )
+        y = y * self.scale[...][None, :, None] + self.bias[...][None, :, None]
+        return y.reshape(b, h, w, c)
+
+
 class FCN(nnx.Module):
     def __init__(
         self,
         cfg: ModelConfig,
         in_channels: int = 3,
+        image_hw: tuple[int, int] | None = None,
         *,
         rngs: nnx.Rngs,
     ):
@@ -69,7 +108,10 @@ class FCN(nnx.Module):
                 rngs=rngs,
             )
 
-        if cfg.batch_norm:
+        if cfg.sample_wise_bn:
+            assert image_hw is not None, "sample_wise_bn needs image_hw"
+            self.norm = SampleWiseBN(image_hw[0] * image_hw[1])
+        elif cfg.batch_norm:
             self.norm = nnx.BatchNorm(
                 in_channels, momentum=0.99, epsilon=1e-3, rngs=rngs
             )
@@ -92,7 +134,7 @@ class FCN(nnx.Module):
         model.py:132-141."""
         cfg = self.cfg
         w = x.shape[2]
-        if cfg.batch_norm:
+        if cfg.batch_norm or cfg.sample_wise_bn:
             x = self.norm(x, use_running_average=not train)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 3), (0, 0)))
 

@@ -1,0 +1,317 @@
+"""Minimal pure-python ROS1 bag (format 2.0) reader + test writer.
+
+The reference consumes `.bag` files through the ROS stack (rosbag,
+sensor_msgs.point_cloud2, cv_bridge); none of that exists here, so this
+module implements the bag container format directly: record framing,
+chunk decompression (none/bz2), connection records, and deserializers for
+the message types the pipeline needs — sensor_msgs/PointCloud2,
+sensor_msgs/Image, and flat numeric messages (radar tracks).
+
+Format: http://wiki.ros.org/Bags/Format/2.0 — every record is
+  <u32 header_len><header fields><u32 data_len><data>
+with header fields serialized as <u32 len>name=value. op codes: 0x03 bag
+header, 0x05 chunk, 0x07 connection, 0x02 message data, 0x04/0x06 index
+records (skipped).
+
+BagWriter emits a valid single-chunk uncompressed bag for fixtures/tests.
+"""
+
+from __future__ import annotations
+
+import bz2
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+_OP_MSG = 0x02
+_OP_BAGHDR = 0x03
+_OP_INDEX = 0x04
+_OP_CHUNK = 0x05
+_OP_CHUNKINFO = 0x06
+_OP_CONN = 0x07
+
+
+def _parse_header(buf: bytes) -> dict[str, bytes]:
+    out = {}
+    pos = 0
+    while pos < len(buf):
+        (flen,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        fld = buf[pos : pos + flen]
+        pos += flen
+        name, _, value = fld.partition(b"=")
+        out[name.decode()] = value
+    return out
+
+
+def _iter_records(buf: bytes, pos: int = 0):
+    n = len(buf)
+    while pos + 8 <= n:
+        (hlen,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        header = _parse_header(buf[pos : pos + hlen])
+        pos += hlen
+        (dlen,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        data = buf[pos : pos + dlen]
+        pos += dlen
+        yield header, data
+
+
+@dataclass
+class Connection:
+    conn_id: int
+    topic: str
+    msg_type: str = ""
+    md5sum: str = ""
+
+
+@dataclass
+class BagMessage:
+    topic: str
+    msg_type: str
+    timestamp: int  # nanoseconds
+    raw: bytes
+
+
+class BagReader:
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            magic = f.readline()
+            if not magic.startswith(b"#ROSBAG V2.0"):
+                raise ValueError(f"not a ROS1 v2.0 bag: {magic!r}")
+            self._buf = f.read()
+        self.connections: dict[int, Connection] = {}
+
+    def _handle_conn(self, header, data):
+        cid = struct.unpack("<I", header["conn"])[0]
+        fields = _parse_header(data)
+        self.connections[cid] = Connection(
+            conn_id=cid,
+            topic=header["topic"].decode(),
+            msg_type=fields.get("type", b"").decode(),
+            md5sum=fields.get("md5sum", b"").decode(),
+        )
+
+    def read_messages(self, topics=None):
+        """Yields BagMessage in file order."""
+        topics = set(topics) if topics else None
+
+        def walk(buf):
+            for header, data in _iter_records(buf):
+                op = header.get("op", b"\x00")[0]
+                if op == _OP_CONN:
+                    self._handle_conn(header, data)
+                elif op == _OP_CHUNK:
+                    comp = header.get("compression", b"none").decode()
+                    if comp == "none":
+                        payload = data
+                    elif comp == "bz2":
+                        payload = bz2.decompress(data)
+                    else:
+                        raise NotImplementedError(
+                            f"chunk compression {comp!r} (lz4 not available)"
+                        )
+                    yield from walk(payload)
+                elif op == _OP_MSG:
+                    cid = struct.unpack("<I", header["conn"])[0]
+                    sec, nsec = struct.unpack("<II", header["time"])
+                    conn = self.connections.get(cid)
+                    if conn is None:
+                        continue
+                    if topics and conn.topic not in topics:
+                        continue
+                    yield BagMessage(
+                        topic=conn.topic,
+                        msg_type=conn.msg_type,
+                        timestamp=sec * 1_000_000_000 + nsec,
+                        raw=data,
+                    )
+                # 0x03/0x04/0x06 carry no messages
+
+        yield from walk(self._buf)
+
+
+# ---- message deserializers ----
+
+_PF_DTYPES = {
+    1: np.int8, 2: np.uint8, 3: np.int16, 4: np.uint16,
+    5: np.int32, 6: np.uint32, 7: np.float32, 8: np.float64,
+}
+
+
+def _read_string(buf, pos):
+    (n,) = struct.unpack_from("<I", buf, pos)
+    return buf[pos + 4 : pos + 4 + n].decode(), pos + 4 + n
+
+
+def _skip_std_header(buf, pos=0):
+    pos += 4 + 8  # seq + stamp
+    _, pos = _read_string(buf, pos)  # frame_id
+    return pos
+
+
+def parse_pointcloud2(raw: bytes, want=("x", "y", "z", "intensity")):
+    """sensor_msgs/PointCloud2 -> (N, len(want)) float32 (NaN for absent
+    fields). Replaces sensor_msgs.point_cloud2.read_points."""
+    pos = _skip_std_header(raw)
+    height, width = struct.unpack_from("<II", raw, pos)
+    pos += 8
+    (nfields,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    fields = []
+    for _ in range(nfields):
+        name, pos = _read_string(raw, pos)
+        offset, datatype, count = struct.unpack_from("<IBI", raw, pos)
+        pos += 9
+        fields.append((name, offset, datatype, count))
+    (is_bigendian,) = struct.unpack_from("<B", raw, pos)
+    pos += 1
+    point_step, row_step = struct.unpack_from("<II", raw, pos)
+    pos += 8
+    (dlen,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    data = np.frombuffer(raw, np.uint8, count=dlen, offset=pos)
+
+    n = height * width
+    out = np.full((n, len(want)), np.nan, np.float32)
+    by_name = {f[0]: f for f in fields}
+    rows = data[: n * point_step].reshape(n, point_step)
+    for j, name in enumerate(want):
+        if name not in by_name:
+            continue
+        _, offset, datatype, _ = by_name[name]
+        dt = _PF_DTYPES[datatype]
+        width_b = np.dtype(dt).itemsize
+        col = rows[:, offset : offset + width_b].copy().view(dt)[:, 0]
+        out[:, j] = col.astype(np.float32)
+    return out
+
+
+def parse_image(raw: bytes):
+    """sensor_msgs/Image -> (H, W[, C]) uint8 array + encoding."""
+    pos = _skip_std_header(raw)
+    height, width = struct.unpack_from("<II", raw, pos)
+    pos += 8
+    encoding, pos = _read_string(raw, pos)
+    (_, step) = struct.unpack_from("<BI", raw, pos)
+    pos += 5
+    (dlen,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    data = np.frombuffer(raw, np.uint8, count=dlen, offset=pos)
+    img = data.reshape(height, step)[:, : width * (step // max(width, 1))]
+    channels = step // max(width, 1)
+    if channels > 1:
+        img = img.reshape(height, width, channels)
+    else:
+        img = img.reshape(height, width)
+    return img, encoding
+
+
+# ---- writer (fixtures / tests) ----
+
+
+def _header_bytes(fields: dict[str, bytes]) -> bytes:
+    parts = []
+    for k, v in fields.items():
+        item = k.encode() + b"=" + v
+        parts.append(struct.pack("<I", len(item)) + item)
+    return b"".join(parts)
+
+
+def _record(fields: dict[str, bytes], data: bytes) -> bytes:
+    h = _header_bytes(fields)
+    return struct.pack("<I", len(h)) + h + struct.pack("<I", len(data)) + data
+
+
+class BagWriter:
+    """Writes a valid single-chunk uncompressed v2.0 bag."""
+
+    def __init__(self):
+        self._chunk = b""
+        self._count = 0
+
+    def add_connection(self, conn_id: int, topic: str, msg_type: str):
+        self._chunk += _record(
+            {
+                "op": bytes([_OP_CONN]),
+                "conn": struct.pack("<I", conn_id),
+                "topic": topic.encode(),
+            },
+            _header_bytes({"type": msg_type.encode(), "md5sum": b"0" * 32}),
+        )
+
+    def add_message(self, conn_id: int, t_ns: int, raw: bytes):
+        sec, nsec = divmod(t_ns, 1_000_000_000)
+        self._chunk += _record(
+            {
+                "op": bytes([_OP_MSG]),
+                "conn": struct.pack("<I", conn_id),
+                "time": struct.pack("<II", sec, nsec),
+            },
+            raw,
+        )
+        self._count += 1
+
+    def write(self, path: str):
+        with open(path, "wb") as f:
+            f.write(b"#ROSBAG V2.0\n")
+            f.write(
+                _record(
+                    {
+                        "op": bytes([_OP_BAGHDR]),
+                        "index_pos": struct.pack("<Q", 0),
+                        "conn_count": struct.pack("<I", 1),
+                        "chunk_count": struct.pack("<I", 1),
+                    },
+                    b" " * 4096,  # bag headers are padded
+                )
+            )
+            f.write(
+                _record(
+                    {
+                        "op": bytes([_OP_CHUNK]),
+                        "compression": b"none",
+                        "size": struct.pack("<I", len(self._chunk)),
+                    },
+                    self._chunk,
+                )
+            )
+
+
+def serialize_pointcloud2(points: np.ndarray, frame_id: str = "velodyne"):
+    """(N, 4) float32 -> PointCloud2 raw bytes (x, y, z, intensity)."""
+    pts = np.ascontiguousarray(points, np.float32)
+    n = len(pts)
+    buf = struct.pack("<I", 0) + struct.pack("<II", 0, 0)
+    buf += struct.pack("<I", len(frame_id)) + frame_id.encode()
+    buf += struct.pack("<II", 1, n)  # height=1, width=n
+    buf += struct.pack("<I", 4)
+    for i, name in enumerate(("x", "y", "z", "intensity")):
+        buf += struct.pack("<I", len(name)) + name.encode()
+        buf += struct.pack("<IBI", i * 4, 7, 1)  # offset, FLOAT32, count
+    buf += struct.pack("<B", 0)  # little endian
+    buf += struct.pack("<II", 16, 16 * n)  # point_step, row_step
+    raw = pts.tobytes()
+    buf += struct.pack("<I", len(raw)) + raw
+    buf += struct.pack("<B", 1)  # is_dense
+    return buf
+
+
+def extract_bag_points(
+    bag_path: str, topic: str = "/velodyne_points"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-bag read: (frames padded (F, Nmax, 4) with NaN, timestamps)."""
+    reader = BagReader(bag_path)
+    clouds, stamps = [], []
+    for msg in reader.read_messages(topics=[topic]):
+        clouds.append(parse_pointcloud2(msg.raw))
+        stamps.append(msg.timestamp)
+    if not clouds:
+        return np.zeros((0, 0, 4), np.float32), np.zeros((0,), np.int64)
+    nmax = max(len(c) for c in clouds)
+    out = np.full((len(clouds), nmax, 4), np.nan, np.float32)
+    for i, c in enumerate(clouds):
+        out[i, : len(c)] = c
+    return out, np.asarray(stamps, np.int64)

@@ -42,10 +42,15 @@ def make_train_step(
     @nnx.jit
     def train_step(model, optimizer, batch, key):
         images = _batch_images(batch, spec)
-        labels = encode_label_batch(
-            batch["center"], batch["size"], batch["yaw"], images, spec
-        )
-        if train_cfg.augment:
+        if "labels" in batch:
+            # precomputed labels (camera-source training: footprints from
+            # geometry/camera.camera_label_footprint, no on-device encode)
+            labels = batch["labels"]
+        else:
+            labels = encode_label_batch(
+                batch["center"], batch["size"], batch["yaw"], images, spec
+            )
+        if train_cfg.augment and "labels" not in batch:
             images, labels = augment_batch(
                 key, images, labels,
                 batch["center"], batch["size"], batch["yaw"], spec,
@@ -73,9 +78,12 @@ def make_eval_step(
     @nnx.jit
     def eval_step(model, batch):
         images = _batch_images(batch, spec)
-        labels = encode_label_batch(
-            batch["center"], batch["size"], batch["yaw"], images, spec
-        )
+        if "labels" in batch:
+            labels = batch["labels"]
+        else:
+            labels = encode_label_batch(
+                batch["center"], batch["size"], batch["yaw"], images, spec
+            )
         preds = model(images, train=False)
         loss = weighted_pose_loss(preds, labels, loss_cfg, use_regression)
         metrics = batch_metrics(preds, labels, use_regression)

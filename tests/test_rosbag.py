@@ -38,6 +38,26 @@ def test_bag_roundtrip(tmp_path, rng):
     assert msgs[1].timestamp - msgs[0].timestamp == 100_000_000
 
 
+def test_native_extractor_matches_numpy(rng):
+    from tpufusion.native import get_fastpoints
+
+    pts = rng.normal(0, 20, (4096, 4)).astype(np.float32)
+    raw = serialize_pointcloud2(pts)
+    b = parse_pointcloud2(raw, use_native=False)
+    np.testing.assert_allclose(b, pts, rtol=1e-6)
+    if get_fastpoints() is None:
+        import pytest
+
+        pytest.skip("C toolchain unavailable; numpy fallback covered above")
+    a = parse_pointcloud2(raw, use_native=True)
+    np.testing.assert_array_equal(a, b)
+    # absent field -> NaN column in both paths
+    a2 = parse_pointcloud2(raw, want=("x", "ring"), use_native=True)
+    b2 = parse_pointcloud2(raw, want=("x", "ring"), use_native=False)
+    assert np.isnan(a2[:, 1]).all() and np.isnan(b2[:, 1]).all()
+    np.testing.assert_array_equal(a2[:, 0], b2[:, 0])
+
+
 def test_pointcloud2_missing_field(rng):
     # cloud without intensity: NaN-filled column
     pts = rng.normal(0, 5, (10, 4)).astype(np.float32)

@@ -152,9 +152,15 @@ def _skip_std_header(buf, pos=0):
     return pos
 
 
-def parse_pointcloud2(raw: bytes, want=("x", "y", "z", "intensity")):
+def parse_pointcloud2(
+    raw: bytes, want=("x", "y", "z", "intensity"), use_native: bool = True
+):
     """sensor_msgs/PointCloud2 -> (N, len(want)) float32 (NaN for absent
-    fields). Replaces sensor_msgs.point_cloud2.read_points."""
+    fields). Replaces sensor_msgs.point_cloud2.read_points.
+
+    Uses the fused-C extractor (tpufusion/native/fastpoints.c) when built;
+    falls back to the per-field numpy strided copy.
+    """
     pos = _skip_std_header(raw)
     height, width = struct.unpack_from("<II", raw, pos)
     pos += 8
@@ -172,11 +178,32 @@ def parse_pointcloud2(raw: bytes, want=("x", "y", "z", "intensity")):
     pos += 8
     (dlen,) = struct.unpack_from("<I", raw, pos)
     pos += 4
-    data = np.frombuffer(raw, np.uint8, count=dlen, offset=pos)
 
     n = height * width
-    out = np.full((n, len(want)), np.nan, np.float32)
     by_name = {f[0]: f for f in fields}
+
+    if use_native:
+        from tpufusion.native import get_fastpoints
+
+        fp = get_fastpoints()
+        if fp is not None:
+            offsets, codes = [], []
+            for name in want:
+                if name in by_name:
+                    _, offset, datatype, _ = by_name[name]
+                    offsets.append(offset)
+                    codes.append(datatype)
+                else:
+                    offsets.append(-1)
+                    codes.append(0)
+            packed = fp.unpack(
+                raw[pos : pos + dlen], n, point_step,
+                tuple(offsets), tuple(codes),
+            )
+            return np.frombuffer(packed, np.float32).reshape(n, len(want))
+
+    data = np.frombuffer(raw, np.uint8, count=dlen, offset=pos)
+    out = np.full((n, len(want)), np.nan, np.float32)
     rows = data[: n * point_step].reshape(n, point_step)
     for j, name in enumerate(want):
         if name not in by_name:

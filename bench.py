@@ -61,13 +61,18 @@ def main():
     model.deconv6a.bias[:] = jnp.asarray([2.0, -2.0])
     graphdef, state = nnx.split(model)
 
-    @jax.jit
-    def e2e(state, points):
-        mdl = nnx.merge(graphdef, state)
-        images = range_view_project_batch(points, spec)
-        preds = mdl(images, train=False)
-        out = decode_batch(preds, images, spec, cfg.decode)
-        return out["pose"], out["found"]
+    def make_e2e(method):
+        @jax.jit
+        def e2e(state, points):
+            mdl = nnx.merge(graphdef, state)
+            images = range_view_project_batch(points, spec, method=method)
+            preds = mdl(images, train=False)
+            out = decode_batch(preds, images, spec, cfg.decode)
+            return out["pose"], out["found"]
+
+        return e2e
+
+    e2e = make_e2e(cfg.projection_method)
 
     log(f"devices: {jax.devices()}")
     synth = jax.jit(lambda k: synthesize_points_batch(k, BATCH, N_POINTS)[0])
@@ -91,6 +96,18 @@ def main():
     dt = (time.perf_counter() - t0) / n
     fps = BATCH / dt
     log(f"throughput: {fps:.1f} frames/s ({dt * 1e3:.1f} ms/batch of {BATCH})")
+
+    # supplementary: throughput with the quantized-winner projection
+    fast = make_e2e("packed")
+    out_f = fast(state, batches[0])
+    force(out_f)
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        for b in batches:
+            out_f = fast(state, b)
+    _ = np.asarray(out_f[0].ravel()[0])
+    fast_fps = BATCH * REPS * NSETS / (time.perf_counter() - t0)
+    log(f"packed-projection mode: {fast_fps:.1f} frames/s")
 
     # latency: single-frame path, per-call readback (includes host rtt)
     ones = [b[:1] for b in batches]

@@ -181,6 +181,27 @@ def test_train_learns():
     assert np.mean(recalls[-5:]) > 0.5, recalls
 
 
+def test_divergence_recovery(tmp_path):
+    """A non-finite loss restores the last checkpoint instead of training
+    on poisoned weights."""
+    from tpufusion.config import PipelineConfig
+    from tpufusion.train.trainer import Trainer
+
+    cfg = PipelineConfig(
+        range_view=SMALL_SPEC,
+        train=TrainConfig(batch_size=4, epochs=1, augment=False),
+    )
+    trainer = Trainer(cfg, outdir=str(tmp_path / "run"))
+    trainer.ckpt.save(0, trainer.model, trainer.optimizer)
+    want = np.asarray(trainer.model.conv1.kernel[...]).copy()
+    # poison the weights, then trigger recovery
+    k = trainer.model.conv1.kernel
+    k[...] = jnp.full_like(k[...], jnp.nan)
+    assert trainer._recover_from_divergence()
+    got = np.asarray(trainer.model.conv1.kernel[...])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from tpufusion.train.checkpoint import CheckpointManager
 

@@ -113,14 +113,27 @@ def _cmd_submit(args):
 
 
 def _cmd_score(args):
+    import csv as _csv
+
     from tpufusion.eval.scoring import score_poses
 
-    # CSV columns: timestamp tx ty tz rx ry rz l w h
-    # -> pose (tx ty tz rz l w h) = columns 1,2,3,6,7,8,9
-    cols = (1, 2, 3, 6, 7, 8, 9)
-    preds = np.loadtxt(args.predictions, delimiter=",", skiprows=1, usecols=cols)
-    truths = np.loadtxt(args.truth, delimiter=",", skiprows=1, usecols=cols)
-    print(json.dumps(score_poses(preds, truths)))
+    def read_poses(path):
+        # prediction CSVs carry l/w/h; ground-truth pose CSVs may not —
+        # fall back to the metadata size flags there
+        rows = []
+        with open(path) as f:
+            for r in _csv.DictReader(f):
+                rows.append(
+                    [
+                        float(r["tx"]), float(r["ty"]), float(r["tz"]),
+                        float(r.get("rz", 0.0)),
+                        float(r.get("l") or args.l), float(r.get("w") or args.w),
+                        float(r.get("h") or args.h),
+                    ]
+                )
+        return np.asarray(rows)
+
+    print(json.dumps(score_poses(read_poses(args.predictions), read_poses(args.truth))))
 
 
 def _cmd_extract(args):
@@ -197,6 +210,10 @@ def main(argv=None):
     sc = sub.add_parser("score", help="pose CSV vs truth CSV -> metrics")
     sc.add_argument("predictions")
     sc.add_argument("truth")
+    sc.add_argument("--l", type=float, default=0.0,
+                    help="obstacle size fallback when the CSV lacks l/w/h")
+    sc.add_argument("--w", type=float, default=0.0)
+    sc.add_argument("--h", type=float, default=0.0)
     sc.set_defaults(fn=_cmd_score)
 
     ex = sub.add_parser("extract", help="points NPZ -> dataset dir")

@@ -204,6 +204,11 @@ class PipelineConfig:
     mesh: MeshConfig = MeshConfig()
     # fixed per-frame point budget (clouds are padded/truncated to this)
     max_points: int = 65536
+    # "exact" reproduces the reference's nearest-wins collision rule
+    # bit-for-bit; "packed" is ~1.8x faster with a quantized winner key
+    # (99.96% identical pixels on 32k-pt clouds; differing pixels pick a
+    # point <=0.2% farther in L2) — see ops/scatter.py
+    projection_method: str = "exact"
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

@@ -31,7 +31,7 @@ class CheckpointManager:
         payload = {"model": nnx.state(model)}
         if optimizer is not None:
             payload["opt"] = nnx.state(optimizer)
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.save(step, args=ocp.args.PyTreeSave(payload))
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
@@ -44,8 +44,13 @@ class CheckpointManager:
         template = {"model": nnx.state(model)}
         if optimizer is not None:
             template["opt"] = nnx.state(optimizer)
+        # inference-time restores pass only the model while training saved
+        # model+optimizer; partial restore skips the absent subtrees
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template)
+            step,
+            args=ocp.args.PyTreeRestore(
+                template, partial_restore=optimizer is None
+            ),
         )
         nnx.update(model, restored["model"])
         if optimizer is not None:

@@ -105,6 +105,19 @@ class Trainer:
         log.info("resumed from step %d", step)
         return True
 
+    def _recover_from_divergence(self) -> bool:
+        """Failure detection: on a non-finite loss, restore the last good
+        checkpoint instead of training onward on poisoned weights. (The
+        reference has no failure handling at all — SURVEY.md §5.)"""
+        try:
+            step = self.ckpt.restore(self.model, self.optimizer)
+        except FileNotFoundError:
+            log.warning("non-finite loss before any checkpoint; continuing")
+            return False
+        log.warning("non-finite loss — restored checkpoint at step %d", step)
+        self.step = step
+        return True
+
     def fit(
         self,
         train_pipe: BatchPipeline,
@@ -120,9 +133,12 @@ class Trainer:
                 sums, nb = {}, 0
                 for batch in train_pipe.epoch():
                     key, sub = jax.random.split(key)
-                    _, metrics = self.train_step(
+                    loss, metrics = self.train_step(
                         self.model, self.optimizer, batch, sub
                     )
+                    if not np.isfinite(float(loss)):
+                        self._recover_from_divergence()
+                        continue
                     self.step += 1
                     nb += 1
                     self.history.record_batch(metrics)

@@ -11,7 +11,6 @@ from flax import nnx
 from tpufusion.config import LossConfig, ModelConfig, RangeViewSpec, TrainConfig
 from tpufusion.geometry.camera import CameraModel, camera_label_footprint
 from tpufusion.models.fcn import FCN
-from tpufusion.models.losses import weighted_pose_loss
 from tpufusion.train.train_step import make_train_step
 
 

@@ -7,7 +7,6 @@ from tpufusion.data.rosbag_reader import (
     BagReader,
     BagWriter,
     extract_bag_points,
-    parse_image,
     parse_pointcloud2,
     serialize_pointcloud2,
 )

@@ -19,7 +19,7 @@ import numpy as np
 def _cmd_train(args):
     from flax import nnx
 
-    from tpufusion.config import DEFAULT, LossConfig, TrainConfig
+    from tpufusion.config import DEFAULT, LossConfig
     from tpufusion.data.etl import load_extracted
     from tpufusion.data.pipeline import BatchPipeline
     from tpufusion.data.registry import load_pose_csv, read_registry

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import bz2
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

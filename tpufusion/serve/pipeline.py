@@ -12,7 +12,6 @@ Also carries the reference node's `fake_model` fallback (point-cloud mean,
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 

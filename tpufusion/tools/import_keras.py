@@ -17,8 +17,6 @@ Kernel conventions:
 
 from __future__ import annotations
 
-import dataclasses
-
 import h5py
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ from __future__ import annotations
 
 import os
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 from flax import nnx
 

@@ -13,8 +13,6 @@ or raw `points` (B, N, 4) to be projected on device, plus ground truth
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 from flax import nnx
 
 from tpufusion.config import LossConfig, RangeViewSpec, TrainConfig

@@ -1,0 +1,111 @@
+"""Reference-fidelity edge cases: azimuth wrap, empty clouds, augmentation
+validity, multi-blob selection ordering."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpufusion.config import DecodeConfig, RangeViewSpec
+from tpufusion.data.augment import sample_roll
+from tpufusion.decode import decode_frame
+from tpufusion.geometry.range_view import range_view_project
+from tpufusion.geometry import boxes, encoding
+
+from tests.conftest import synthetic_cloud
+from tests.oracle import reference_numpy as oracle
+
+SPEC = RangeViewSpec()
+CFG = DecodeConfig()
+
+
+def test_empty_cloud_projection():
+    pts = jnp.full((128, 4), jnp.nan)
+    img = np.asarray(range_view_project(pts, SPEC))
+    assert (img[..., 0] == 0).all()
+    assert (img[..., 1] == SPEC.min_height).all()
+
+
+def test_empty_prediction_decodes_to_nothing():
+    y_pred = np.zeros((SPEC.height, SPEC.width, 26), np.float32)
+    y_pred[..., 0] = 1.0  # all background
+    img = np.zeros((SPEC.height, SPEC.width, 3), np.float32)
+    out = decode_frame(jnp.asarray(y_pred), jnp.asarray(img), SPEC, CFG)
+    assert not bool(out["found"])
+    assert (np.asarray(out["pose"]) == 0).all()
+
+
+def test_vehicle_behind_sensor_decodes(rng):
+    """Vehicle at azimuth ~pi (columns near the 0/1800 wrap edges).
+
+    The reference's decode scans columns ulx-100..lrx+100 without wrapping;
+    our windowed vote clamps to the image — both see the same candidates.
+    Verify the full decode against the oracle at the wrap."""
+    vehicle = (-15.0, 0.3, -0.7)  # behind: azimuth ~ pi
+    size = (4.2, 1.6, 1.5)
+    cloud = synthetic_cloud(rng, n=6000, with_vehicle_at=vehicle)
+    img = np.asarray(range_view_project(jnp.asarray(cloud), SPEC))
+    lbl = np.asarray(
+        encoding.encode_label(
+            jnp.asarray(vehicle, jnp.float32),
+            jnp.asarray(size, jnp.float32),
+            jnp.float32(0.0),
+            jnp.asarray(img),
+            SPEC,
+        )
+    )
+    # object projects near a wrap edge
+    ccol, _ = boxes.project_2d(*[jnp.float32(v) for v in vehicle], SPEC)
+    assert int(ccol) < 120 or int(ccol) > SPEC.width - 120
+
+    out = decode_frame(jnp.asarray(lbl), jnp.asarray(img), SPEC, CFG)
+    want_c, want_b, _ = oracle.find_obstacle(lbl[..., 1])
+    if want_c is None:
+        assert not bool(out["found"])
+        return
+    got_b = np.asarray(out["bbox_2d"])
+    assert tuple(got_b[:2]) == want_b[0] and tuple(got_b[2:]) == want_b[1]
+    if bool(out["found"]):
+        want_xyz, _ = oracle.back_project(
+            want_c, (want_b[0][0], want_b[0][1], want_b[1][0], want_b[1][1]),
+            img[..., 0], img[..., 1],
+        )
+        want_pose, _ = oracle.find_bbox_3d(
+            img[..., 0], img[..., 1], lbl.reshape(-1, 26), want_b, want_xyz[:3]
+        )
+        got = np.asarray(out["pose"])
+        np.testing.assert_allclose(
+            np.delete(got, 3), np.delete(want_pose, 3), rtol=1e-3, atol=5e-3
+        )
+
+
+def test_sample_roll_never_splits_object(rng):
+    """The sampled azimuth roll must never wrap the footprint across the
+    image edge (loader.py:44-47 rejection criterion)."""
+    center = jnp.asarray([12.0, -4.0, -0.8], jnp.float32)
+    size = jnp.asarray([4.2418, 1.4478, 1.5748], jnp.float32)
+    yaw = jnp.float32(0.3)
+    ul_x, _, lr_x, _ = (int(v) for v in boxes.outer_rect(center, size, yaw, SPEC))
+    w = SPEC.width
+    rolls = jax.vmap(
+        lambda k: sample_roll(k, center, size, yaw, SPEC)
+    )(jax.random.split(jax.random.PRNGKey(0), 512))
+    rolls = np.asarray(rolls)
+    assert (rolls >= 0).all() and (rolls < w).all()
+    bad = (ul_x + rolls <= w) & (w <= lr_x + rolls)
+    assert not bad.any(), rolls[bad][:5]
+
+
+def test_multi_blob_picks_largest_then_earliest(rng):
+    from tpufusion.decode import find_obstacle
+
+    prob = np.zeros((SPEC.height, SPEC.width), np.float32)
+    prob[4:14, 100:160] = 1.0  # area candidate A
+    prob[16:26, 900:960] = 1.0  # same shape, later in scan order
+    prob[5:9, 1200:1215] = 1.0  # smaller
+    want_c, want_b, want_a = oracle.find_obstacle(prob)
+    got_c, got_b, got_a, found = find_obstacle(jnp.asarray(prob), CFG)
+    assert bool(found)
+    assert tuple(np.asarray(got_c)) == want_c
+    assert float(got_a) == want_a
+    got_b = np.asarray(got_b)
+    assert (got_b[0], got_b[1]) == want_b[0] and (got_b[2], got_b[3]) == want_b[1]

@@ -61,16 +61,10 @@ def main():
     model.deconv6a.bias[:] = jnp.asarray([2.0, -2.0])
     graphdef, state = nnx.split(model)
 
-    def make_e2e(method):
-        @jax.jit
-        def e2e(state, points):
-            mdl = nnx.merge(graphdef, state)
-            images = range_view_project_batch(points, spec, method=method)
-            preds = mdl(images, train=False)
-            out = decode_batch(preds, images, spec, cfg.decode)
-            return out["pose"], out["found"]
+    from tpufusion.predict import make_e2e_step
 
-        return e2e
+    def make_e2e(method):
+        return make_e2e_step(graphdef, spec, cfg.decode, method)
 
     e2e = make_e2e(cfg.projection_method)
 

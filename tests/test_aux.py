@@ -12,11 +12,12 @@ from tpufusion.serve.tracker import PoseTracker
 
 
 def test_radar_to_xyz():
+    # reference semantics (process_radar_data.py:98-115): range += 2.2506
+    # BEFORE projecting, tz = 0
     t = RadarTrack(timestamp=0, range=20.0, angle=0.0)
-    xyz = t.to_xyz()
-    np.testing.assert_allclose(xyz, [23.8, 0.0, -1.5494])
+    np.testing.assert_allclose(t.to_xyz(), [22.2506, 0.0, 0.0])
     t2 = RadarTrack(timestamp=0, range=10.0, angle=90.0)
-    np.testing.assert_allclose(t2.to_xyz(), [3.8, -10.0, -1.5494], atol=1e-12)
+    np.testing.assert_allclose(t2.to_xyz(), [0.0, -12.2506, 0.0], atol=1e-12)
     feats = radar_features([t, t2])
     assert feats.shape == (2, 2) and feats[1, 1] == 90.0
 

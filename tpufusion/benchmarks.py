@@ -83,12 +83,9 @@ def config2_replay() -> dict:
     """64-frame chunk through projection + FCN + pose decode."""
     graphdef, state = _model()
 
-    @jax.jit
-    def fn(state, points):
-        images = range_view_project_batch(points, SPEC)
-        preds = nnx.merge(graphdef, state)(images, train=False)
-        out = decode_batch(preds, images, SPEC, CFG.decode)
-        return out["pose"], out["found"]
+    from tpufusion.predict import make_e2e_step
+
+    fn = make_e2e_step(graphdef, SPEC, CFG.decode)
 
     sets = _point_sets(6, 64, 32768)
     dt = measure(fn, [(state, p) for p in sets], reps=2)
@@ -161,12 +158,9 @@ def config4_full_eval() -> dict:
 
     graphdef, state = _model()
 
-    @jax.jit
-    def fn(state, points):
-        images = range_view_project_batch(points, SPEC)
-        preds = nnx.merge(graphdef, state)(images, train=False)
-        out = decode_batch(preds, images, SPEC, CFG.decode)
-        return out["pose"], out["found"]
+    from tpufusion.predict import make_e2e_step
+
+    fn = make_e2e_step(graphdef, SPEC, CFG.decode)
 
     frames = 128
     sets = _point_sets(frames // 32, 32, 32768)
@@ -205,12 +199,9 @@ def config5_waymo_scale() -> dict:
 
     graphdef, state = _model()
 
-    @jax.jit
-    def fn(state, points):
-        images = range_view_project_batch(points, SPEC)
-        preds = nnx.merge(graphdef, state)(images, train=False)
-        out = decode_batch(preds, images, SPEC, CFG.decode)
-        return out["pose"], out["found"]
+    from tpufusion.predict import make_e2e_step
+
+    fn = make_e2e_step(graphdef, SPEC, CFG.decode)
 
     sets = _point_sets(4, 16, 131072)
     dt = measure(fn, [(state, p) for p in sets], reps=2)

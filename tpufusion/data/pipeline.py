@@ -28,11 +28,12 @@ def epoch_indices(
     if shuffle:
         rng.shuffle(idx)
     need = num_batches * batch_size - n
-    if need > 0:
+    while need > 0:  # tiny datasets may need several refills
         extra = np.arange(n)
         if shuffle:
             rng.shuffle(extra)
         idx = np.concatenate([idx, extra[:need]])
+        need -= min(need, n)
     return idx.reshape(num_batches, batch_size)
 
 

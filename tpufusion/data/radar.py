@@ -2,9 +2,9 @@
 
 Covers `modules/lidar/process/radar_tracks.py` (track-message fields) and
 `modules/lidar/process/process_radar_data.py:98-115` (polar track ->
-lidar-frame 3D point with the radar mount offset): the radar sits
-3.8 m ahead of the lidar origin and 1.5494 m below it in the reference's
-rig (the `3.8 - 1.5494` constants).
+lidar-frame 3D point): the reference adds the combined radar->lidar mount
+offset `3.8 - 1.5494` = 2.2506 m to the polar RANGE before projecting and
+reports tz = 0.
 """
 
 from __future__ import annotations
@@ -19,9 +19,8 @@ RADAR_FIELDS = (
     "width", "late_rate", "moving", "power", "absolute_rate",
 )
 
-# reference rig offsets (process_radar_data.py:98,108)
-RADAR_FORWARD_OFFSET = 3.8
-RADAR_HEIGHT_OFFSET = -1.5494
+# combined radar->lidar range offset (process_radar_data.py:98,111)
+RADAR_LIDAR_OFFSET = 3.8 - 1.5494
 
 
 @dataclasses.dataclass
@@ -33,11 +32,11 @@ class RadarTrack:
     status: float = 0.0
 
     def to_xyz(self) -> np.ndarray:
-        """Polar -> lidar-frame cartesian with mount offsets."""
+        """Polar -> lidar-frame cartesian, exactly process_radar_data.py:
+        108-115: offset the range, then project; tz = 0."""
         a = np.deg2rad(self.angle)
-        x = self.range * np.cos(a) + RADAR_FORWARD_OFFSET
-        y = -self.range * np.sin(a)
-        return np.asarray([x, y, RADAR_HEIGHT_OFFSET], np.float64)
+        d = self.range + RADAR_LIDAR_OFFSET
+        return np.asarray([d * np.cos(a), -d * np.sin(a), 0.0], np.float64)
 
 
 def load_radar_csv(path: str) -> list[RadarTrack]:

@@ -181,6 +181,20 @@ def parse_pointcloud2(
 
     n = height * width
     by_name = {f[0]: f for f in fields}
+    if is_bigendian:
+        raise NotImplementedError("big-endian PointCloud2 not supported")
+    for name, offset, datatype, _ in fields:
+        if offset + np.dtype(_PF_DTYPES[datatype]).itemsize > point_step:
+            raise ValueError(
+                f"field {name!r} at offset {offset} exceeds point_step "
+                f"{point_step}"
+            )
+    # organized clouds can pad rows: repack to a contiguous point buffer
+    if height > 1 and row_step != width * point_step:
+        rows2d = np.frombuffer(raw, np.uint8, count=dlen, offset=pos)
+        rows2d = rows2d.reshape(height, row_step)[:, : width * point_step]
+        raw = rows2d.tobytes()
+        pos, dlen = 0, n * point_step
 
     if use_native:
         from tpufusion.native import get_fastpoints

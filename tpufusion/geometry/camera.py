@@ -182,7 +182,9 @@ def camera_label_footprint(
 
     hh, ww = image_hw
     label = np.zeros((hh, ww), np.float32)
-    label[max(uly, 0) : max(lry, 0), max(ulx, 0) : max(lrx, 0)] = 1.0
+    # raw numpy slice like the reference (encoder.py:322): negative starts
+    # wrap, so edge-crossing boxes yield an empty (all-background) label
+    label[uly:lry, ulx:lrx] = 1.0
     onehot = np.stack([1.0 - label, label], axis=-1)
     return onehot, ((ulx, uly), (lrx, lry))
 

@@ -60,9 +60,19 @@ static PyObject *unpack(PyObject *self, PyObject *args) {
     PyErr_SetString(PyExc_ValueError, "too many fields (max 16)");
     return NULL;
   }
+  static const int field_size[9] = {0, 1, 1, 2, 2, 4, 4, 4, 8};
   for (Py_ssize_t j = 0; j < nf; j++) {
     offsets[j] = PyLong_AsLong(PyTuple_GetItem(offsets_obj, j));
     codes[j] = (int)PyLong_AsLong(PyTuple_GetItem(codes_obj, j));
+    if (offsets[j] >= 0) {
+      if (codes[j] < 1 || codes[j] > 8 ||
+          offsets[j] + field_size[codes[j]] > point_step) {
+        PyBuffer_Release(&data);
+        PyErr_SetString(PyExc_ValueError,
+                        "field offset/type exceeds point_step");
+        return NULL;
+      }
+    }
   }
   if ((Py_ssize_t)(n * point_step) > data.len) {
     PyBuffer_Release(&data);

@@ -19,10 +19,28 @@ from flax import nnx
 from tpufusion.config import PipelineConfig, DEFAULT
 from tpufusion.decode.decode import decode_batch
 from tpufusion.eval.submission import write_metadata_csv, write_predictions_csv
+from tpufusion.geometry.range_view import range_view_project_batch
 from tpufusion.models.fcn import FCN
 from tpufusion.utils.logging import get_logger
 
 log = get_logger("predict")
+
+
+def make_e2e_step(graphdef, spec, decode_cfg, method: str = "exact"):
+    """The one fused inference graph everyone shares: raw point batches ->
+    projection -> FCN -> pose decode. Used by the batch predictor, the
+    replay harness, the online pipeline, and the benchmarks, so the decode
+    pipeline has a single definition."""
+
+    @jax.jit
+    def step(state, points, valid=None):
+        mdl = nnx.merge(graphdef, state)
+        images = range_view_project_batch(points, spec, valid, method)
+        preds = mdl(images, train=False)
+        out = decode_batch(preds, images, spec, decode_cfg)
+        return out["pose"], out["found"]
+
+    return step
 
 
 def predict_images(

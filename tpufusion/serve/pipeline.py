@@ -16,8 +16,6 @@ import numpy as np
 from flax import nnx
 
 from tpufusion.config import PipelineConfig, DEFAULT
-from tpufusion.decode.decode import decode_frame
-from tpufusion.geometry.range_view import range_view_project
 from tpufusion.models.fcn import FCN
 
 
@@ -38,17 +36,11 @@ class LidarPipeline:
             CheckpointManager(checkpoint_dir).restore(self.model)
         graphdef, state = nnx.split(self.model)
         self._state = state
-        spec, dcfg = cfg.range_view, cfg.decode
+        from tpufusion.predict import make_e2e_step
 
-        @jax.jit
-        def _predict(state, points, valid):
-            mdl = nnx.merge(graphdef, state)
-            image = range_view_project(points, spec, valid)
-            preds = mdl(image[None], train=False)[0]
-            out = decode_frame(preds, image, spec, dcfg)
-            return out["pose"], out["found"]
-
-        self._predict = _predict
+        self._step = make_e2e_step(
+            graphdef, cfg.range_view, cfg.decode, cfg.projection_method
+        )
 
     def _pad(self, points: np.ndarray):
         n = self.max_points
@@ -62,8 +54,8 @@ class LidarPipeline:
     def predict_position(self, points: np.ndarray) -> tuple[np.ndarray, bool]:
         """points (N, >=3[+intensity]) -> (pose (7,), found)."""
         pts, valid = self._pad(np.asarray(points, np.float32))
-        pose, found = self._predict(self._state, pts, valid)
-        return np.asarray(pose), bool(found)
+        pose, found = self._step(self._state, pts[None], valid[None])
+        return np.asarray(pose[0]), bool(found[0])
 
     @staticmethod
     def fake_predict(points: np.ndarray) -> np.ndarray:

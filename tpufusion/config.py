@@ -142,6 +142,9 @@ class TrainConfig:
     checkpoint_every_epochs: int = 1
     keep_checkpoints: int = 5
     log_every_steps: int = 10
+    # accumulate gradients over N micro-batches before applying the update
+    # (effective batch = batch_size * grad_accum_steps); 1 = off
+    grad_accum_steps: int = 1
 
 
 @dataclass(frozen=True)

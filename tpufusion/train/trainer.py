@@ -81,9 +81,10 @@ class Trainer:
         self.model = model or FCN(
             cfg.model, in_channels, rngs=nnx.Rngs(cfg.train.seed)
         )
-        self.optimizer = nnx.Optimizer(
-            self.model, optax.adam(cfg.train.learning_rate), wrt=nnx.Param
-        )
+        tx = optax.adam(cfg.train.learning_rate)
+        if cfg.train.grad_accum_steps > 1:
+            tx = optax.MultiSteps(tx, cfg.train.grad_accum_steps)
+        self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
         self.train_step = make_train_step(
             cfg.range_view, cfg.loss, cfg.train, cfg.model.use_regression
         )

@@ -66,6 +66,35 @@ def test_calibration_recovers_transform(tmp_path):
     assert err < 0.5
 
 
+REF_CALIB_DIR = "/root/reference/modules/lidar/data/calibration"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_CALIB_DIR), reason="reference not mounted"
+)
+def test_calibration_golden_reference_data():
+    """Run the optimizer on the reference's REAL hand-labeled
+    correspondences: it must reach the reference's recorded optimum
+    (28.818 px summed reprojection error over 5 points,
+    data/calibration/notes.txt) — the reference took 204 s; this converges
+    in well under a second."""
+    from tpufusion.tools.calibrate import calibrate_from_settings
+
+    r = calibrate_from_settings(
+        os.path.join(REF_CALIB_DIR, "lidar_calibration.json"),
+        os.path.join(REF_CALIB_DIR, "camera_calibration.yaml"),
+        max_restarts=300,
+        seed=0,
+    )
+    assert r["accepted"]
+    assert abs(r["error_px"] - 28.818) < 0.05, r
+    # the recovered translation matches the reference's final transform
+    # (notes.txt: [0.09351516, -0.06567607, -0.66041402, ...])
+    np.testing.assert_allclose(
+        r["translation"], [0.093515, -0.065676, -0.660414], atol=2e-3
+    )
+
+
 def test_rgb_onto_bev(tmp_path):
     cam = _demo_camera(tmp_path)
     # lidar (x fwd, y left, z up) -> camera (z fwd, x right, y down)

@@ -25,12 +25,15 @@ def reprojection_error(
     pixels: np.ndarray,  # (N, 2) hand-labeled
     axes: str = "rzxz",
 ) -> float:
+    """SUM of per-point pixel distances — the reference's cost
+    (lidar_image_calibration_standalone.py:44-62) and what its <30 px
+    acceptance threshold is calibrated against."""
     cam = CameraModel()
     cam.K, cam.D, cam.R, cam.P = camera.K, camera.D, camera.R, camera.P
     cam.width, cam.height = camera.width, camera.height
     cam.set_extrinsic_from_euler(params[:3], params[3:6], axes)
     uv = cam.project_lidar_to_pixels(points3d)
-    return float(np.linalg.norm(uv - pixels, axis=1).mean())
+    return float(np.linalg.norm(uv - pixels, axis=1).sum())
 
 
 def calibrate(
@@ -70,15 +73,26 @@ def calibrate(
     }
 
 
-def calibrate_from_settings(settings_json: str, camera_yaml: str) -> dict:
+def calibrate_from_settings(settings_json: str, camera_yaml: str, **kw) -> dict:
     """settings JSON carries points/uvs/bounds like the reference's
-    data/calibration/lidar_calibration.json."""
+    data/calibration/lidar_calibration.json (which uses commentjson —
+    `//` comments are stripped here). The reference orders parameters
+    (tx, ty, tz, Ay, Ap, Ar); internally we use (angles, translation), so
+    the bounds are reordered accordingly."""
+    import re
+
     with open(settings_json) as f:
-        s = json.load(f)
+        text = re.sub(r"//[^\n]*", "", f.read())
+    s = json.loads(text)
+    bounds = s.get("bounds")
+    if bounds is not None and len(bounds) == 6:
+        bounds = list(bounds[3:]) + list(bounds[:3])  # (t, r) -> (r, t)
     camera = CameraModel().load_camera_calibration(camera_yaml)
     return calibrate(
         camera,
         np.asarray(s["points"], float)[:, :3],
         np.asarray(s["uvs"], float),
-        bounds=s.get("bounds"),
+        bounds=bounds,
+        axes=s.get("axes", "rzxz"),
+        **kw,
     )

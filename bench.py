@@ -91,6 +91,49 @@ def main():
     fps = BATCH / dt
     log(f"throughput: {fps:.1f} frames/s ({dt * 1e3:.1f} ms/batch of {BATCH})")
 
+    # supplementary: throughput under detection load. The CC labeling loop
+    # iterates with the blob diameter, so frames WITH detections cost more
+    # than empty ones; quick-train the model so ~40% of frames detect.
+    import optax
+
+    from tpufusion.train.stats import population_weights
+    from tpufusion.train.train_step import make_train_step
+    from tpufusion.config import LossConfig, TrainConfig
+
+    tmodel = FCN(
+        dataclasses.replace(cfg.model, dtype="bfloat16"),
+        in_channels=3, rngs=nnx.Rngs(0),
+    )
+    topt = nnx.Optimizer(tmodel, optax.adam(3e-3), wrt=nnx.Param)
+    tpts, tgt = synthesize_points_batch(jax.random.PRNGKey(42), 32, N_POINTS)
+    stats_ = population_weights(
+        np.asarray(tgt["center"]), np.asarray(tgt["size"]),
+        np.asarray(tgt["yaw"]), spec,
+    )
+    tstep = make_train_step(
+        spec,
+        LossConfig(
+            obj_to_bkg_ratio=stats_["positive_to_negative_ratio"],
+            avg_obj_size=stats_["average_area"],
+        ),
+        TrainConfig(batch_size=32, augment=False),
+    )
+    tbatch = {"points": tpts, "center": tgt["center"],
+              "size": tgt["size"], "yaw": tgt["yaw"]}
+    key = jax.random.PRNGKey(0)
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        tstep(tmodel, topt, tbatch, sub)
+    _, tstate = nnx.split(tmodel)
+    pl, fl = e2e(tstate, batches[0])
+    det = int(np.asarray(fl).sum())
+    t0 = time.perf_counter()
+    for b in batches:
+        out_l = e2e(tstate, b)
+    _ = np.asarray(out_l[0].ravel()[0])
+    live_fps = BATCH * NSETS / (time.perf_counter() - t0)
+    log(f"with live detections ({det}/{BATCH} frames): {live_fps:.1f} frames/s")
+
     # supplementary: throughput with the quantized-winner projection
     fast = make_e2e("packed")
     out_f = fast(state, batches[0])
@@ -124,6 +167,7 @@ def main():
                 "unit": "frames/s/chip",
                 "vs_baseline": round(fps / TARGET_FPS, 3),
                 "p50_latency_ms": round(p50, 2),
+                "fps_with_live_detections": round(live_fps, 1),
                 "batch": BATCH,
                 "points_per_frame": N_POINTS,
             }

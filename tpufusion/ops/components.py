@@ -45,13 +45,19 @@ def _cross_max_sweep(st: jax.Array, fg: jax.Array) -> jax.Array:
 
 
 def _propagate(st0: jax.Array, mask: jax.Array, max_iters: int) -> jax.Array:
+    # four sweeps per trip amortize the convergence check (which reads both
+    # full states); a segmented-scan full-row propagation was tried and is
+    # ~7x SLOWER end to end (associative_scan's custom-op carries dwarf the
+    # plain reduce_window sweeps) — see NOTES.md
     def cond(state):
         i, st, changed = state
         return changed & (i < max_iters)
 
     def body(state):
         i, st, _ = state
-        nxt = _cross_max_sweep(_cross_max_sweep(st, mask), mask)
+        nxt = st
+        for _ in range(4):
+            nxt = _cross_max_sweep(nxt, mask)
         return i + 1, nxt, jnp.any(nxt != st)
 
     _, st, _ = jax.lax.while_loop(

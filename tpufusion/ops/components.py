@@ -44,20 +44,76 @@ def _cross_max_sweep(st: jax.Array, fg: jax.Array) -> jax.Array:
     return jnp.where(fg[None], jnp.maximum(h, v), -_BIG)
 
 
+def _shift(x: jax.Array, axis: int, d: int, fill) -> jax.Array:
+    """Shift x by d along axis (d > 0 pulls from lower indices), padding
+    with `fill`. axis is 1 (rows) or 2 (cols) of a (C, H, W) stack; also
+    works on 2-D (H, W) masks with axis 0/1."""
+    nd = x.ndim
+    pad = [(0, 0)] * nd
+    pad[axis] = (d, 0) if d > 0 else (0, -d)
+    sl = [slice(None)] * nd
+    n = x.shape[axis]
+    sl[axis] = slice(0, n) if d > 0 else slice(-d, -d + n)
+    return jnp.pad(x, pad, constant_values=fill)[tuple(sl)]
+
+
+def _run_gates(mask: jax.Array, axis: int, dists) -> dict:
+    """gate[d][p] = True iff the d-1 cells strictly between p and the pull
+    source (distance d along -axis direction encoded by d's sign) are all
+    foreground — i.e. the shifted min stays within one connected run."""
+    gates = {}
+    for d in dists:
+        if abs(d) == 1:
+            gates[d] = None
+            continue
+        step = 1 if d > 0 else -1
+        g = None
+        for j in range(1, abs(d)):
+            m = _shift(mask, axis, step * j, False)
+            g = m if g is None else (g & m)
+        gates[d] = g
+    return gates
+
+
+_H_DISTS = (1, -1, 2, -2, 4, -4, 8, -8, 16, -16)
+_V_DISTS = (1, -1, 2, -2, 4, -4)
+
+
 def _propagate(st0: jax.Array, mask: jax.Array, max_iters: int) -> jax.Array:
-    # four sweeps per trip amortize the convergence check (which reads both
-    # full states); a segmented-scan full-row propagation was tried and is
-    # ~7x SLOWER end to end (associative_scan's custom-op carries dwarf the
-    # plain reduce_window sweeps) — see NOTES.md
+    """Fixed-point label/extent propagation with multi-distance gated
+    sweeps: each sweep takes the max over shifts {1,2,4,8,16} along rows
+    and {1,2,4} along columns, every shift gated by a precomputed
+    within-run mask, so information travels up to 16 px per sweep instead
+    of 1 — range-view blobs are wide and flat, and the iteration count is
+    what the whole decode's cost scales with under detection load.
+    (A segmented associative_scan full-row propagation was tried and is
+    ~7x slower; plain 1-px sweeps need ~blob-width iterations.)"""
+    h_gates = _run_gates(mask, 1, _H_DISTS)
+    v_gates = _run_gates(mask, 0, _V_DISTS)
+
+    def sweep(st):
+        out = st
+        for d in _H_DISTS:
+            s = _shift(st, 2, d, -_BIG)
+            g = h_gates[d]
+            if g is not None:
+                s = jnp.where(g[None], s, -_BIG)
+            out = jnp.maximum(out, s)
+        for d in _V_DISTS:
+            s = _shift(st, 1, d, -_BIG)
+            g = v_gates[d]
+            if g is not None:
+                s = jnp.where(g[None], s, -_BIG)
+            out = jnp.maximum(out, s)
+        return jnp.where(mask[None], out, -_BIG)
+
     def cond(state):
         i, st, changed = state
         return changed & (i < max_iters)
 
     def body(state):
         i, st, _ = state
-        nxt = st
-        for _ in range(4):
-            nxt = _cross_max_sweep(nxt, mask)
+        nxt = sweep(st)
         return i + 1, nxt, jnp.any(nxt != st)
 
     _, st, _ = jax.lax.while_loop(

@@ -39,8 +39,8 @@ from tpufusion.models.fcn import FCN
 
 BATCH = 64
 N_POINTS = 32768  # ~HDL-32E revolution
-NSETS = 8
-REPS = 3
+NSETS = 24
+REPS = 1  # distinct batch every dispatch — the relay caches identical calls
 TARGET_FPS = 500.0
 
 
@@ -147,13 +147,13 @@ def main():
     log(f"packed-projection mode: {fast_fps:.1f} frames/s")
 
     # latency: single-frame path, per-call readback (includes host rtt)
-    ones = [b[:1] for b in batches]
-    out1 = e2e(state, ones[0])
+    ones = [batches[i][i % BATCH : i % BATCH + 1] for i in range(13)]
+    out1 = e2e(state, ones[12])  # warm on a slice the loop never reuses
     force(out1)
     lats = []
     for i in range(12):
         t0 = time.perf_counter()
-        o = e2e(state, ones[i % NSETS])
+        o = e2e(state, ones[i])
         _ = np.asarray(o[0].ravel()[0])
         lats.append(time.perf_counter() - t0)
     p50 = float(np.percentile(lats, 50) * 1e3)

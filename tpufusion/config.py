@@ -163,7 +163,8 @@ class DecodeConfig:
     # is_far rejection deltas (`predict.py:85`)
     far_delta: tuple[float, float, float] = (9.0, 3.0, 3.0)
     # fixed candidate budget for the corner vote (the reference uses an
-    # unbounded python list; we cap for static shapes — overflow is logged)
+    # unbounded python list; we cap for static shapes — overflow is
+    # reported per frame in decode_frame's 'vote_overflow' output)
     max_candidates: int = 2048
     # static column window extracted around the 2D bbox for the vote; covers
     # the reference's scan span (bbox +- margin_x) for bboxes up to

@@ -305,7 +305,10 @@ def corner_vote(
     )
     pose = jnp.where(ok, pose, 0.0)
     box = jnp.where(ok, box, 0.0)
-    return pose, box, ok
+    # signal budget overflow: the reference scans an unbounded candidate
+    # list; we truncate at k in scan order
+    overflow = jnp.sum(cand_cm) > k
+    return pose, box, ok, overflow
 
 
 def decode_frame(
@@ -330,7 +333,7 @@ def decode_frame(
     )
     stage2 = stage1 & bp_ok & ~((xyz[0] == 0.0) & (xyz[1] == 0.0))
 
-    pose, box, cv_ok = corner_vote(y_pred, image, bbox, xyz, spec, cfg)
+    pose, box, cv_ok, overflow = corner_vote(y_pred, image, bbox, xyz, spec, cfg)
     ok = stage2 & cv_ok
 
     zero7 = jnp.zeros(7, jnp.float32)
@@ -342,6 +345,9 @@ def decode_frame(
         "centroid_3d": jnp.where(stage2, xyz, 0.0),
         "corners_3d": jnp.where(ok, box, 0.0),
         "area": area,
+        # True when the fixed vote budget truncated the candidate set —
+        # the pose may then diverge from the reference's unbounded scan
+        "vote_overflow": stage2 & overflow,
     }
 
 

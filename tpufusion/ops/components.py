@@ -30,20 +30,6 @@ import jax.numpy as jnp
 _BIG = jnp.iinfo(jnp.int32).max - 1
 
 
-def _cross_max_sweep(st: jax.Array, fg: jax.Array) -> jax.Array:
-    """One 4-neighborhood max propagation of (C, H, W) channels, restricted
-    to foreground pixels."""
-    h = jax.lax.reduce_window(
-        st, -_BIG, jax.lax.max, (1, 1, 3), (1, 1, 1),
-        ((0, 0), (0, 0), (1, 1)),
-    )
-    v = jax.lax.reduce_window(
-        st, -_BIG, jax.lax.max, (1, 3, 1), (1, 1, 1),
-        ((0, 0), (1, 1), (0, 0)),
-    )
-    return jnp.where(fg[None], jnp.maximum(h, v), -_BIG)
-
-
 def _shift(x: jax.Array, axis: int, d: int, fill) -> jax.Array:
     """Shift x by d along axis (d > 0 pulls from lower indices), padding
     with `fill`. axis is 1 (rows) or 2 (cols) of a (C, H, W) stack; also

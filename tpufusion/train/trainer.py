@@ -113,11 +113,20 @@ class Trainer:
         try:
             step = self.ckpt.restore(self.model, self.optimizer)
         except FileNotFoundError:
-            log.warning("non-finite loss before any checkpoint; continuing")
+            log.error(
+                "non-finite loss before any checkpoint exists — aborting "
+                "so poisoned weights are never persisted"
+            )
             return False
         log.warning("non-finite loss — restored checkpoint at step %d", step)
         self.step = step
         return True
+
+    def _params_finite(self) -> bool:
+        return all(
+            bool(jax.numpy.isfinite(leaf).all())
+            for leaf in jax.tree.leaves(nnx.state(self.model, nnx.Param))
+        )
 
     def fit(
         self,
@@ -132,23 +141,26 @@ class Trainer:
             for epoch in range(epochs):
                 t0 = time.time()
                 sums, nb = {}, 0
+                diverged_unrecoverable = False
                 for batch in train_pipe.epoch():
                     key, sub = jax.random.split(key)
                     loss, metrics = self.train_step(
                         self.model, self.optimizer, batch, sub
                     )
                     if not np.isfinite(float(loss)):
-                        self._recover_from_divergence()
+                        if not self._recover_from_divergence():
+                            diverged_unrecoverable = True
+                            break
                         continue
                     self.step += 1
                     nb += 1
                     self.history.record_batch(metrics)
                     for k, v in metrics.items():
                         sums[k] = sums.get(k, 0.0) + float(v)
-                if nb == 0:
+                if diverged_unrecoverable or nb == 0:
                     log.error(
-                        "epoch %d: every batch diverged and no checkpoint "
-                        "to restore — aborting training", epoch,
+                        "epoch %d: training diverged with nothing to "
+                        "restore — aborting", epoch,
                     )
                     break
                 train_avg = {k: v / nb for k, v in sums.items()}
@@ -176,6 +188,11 @@ class Trainer:
         except KeyboardInterrupt:
             log.info("interrupted — saving final checkpoint")
         finally:
-            self.ckpt.save(self.step, self.model, self.optimizer)
+            # never persist non-finite weights as the "latest" checkpoint —
+            # a later resume/recovery would restore them as if good
+            if self._params_finite():
+                self.ckpt.save(self.step, self.model, self.optimizer)
+            else:
+                log.error("final weights are non-finite — NOT checkpointing")
             self.history.write_pr_csv(os.path.join(self.outdir, "pr_curve.csv"))
         return self.history

@@ -122,6 +122,18 @@ class Trainer:
         self.step = step
         return True
 
+    def _append_metrics_jsonl(self, epoch, train_avg, val_avg=None) -> None:
+        """Structured per-epoch scalars (the reference's TensorBoard
+        equivalent, consumable by any dashboard)."""
+        import json
+
+        row = {"epoch": epoch, "step": self.step, "time": time.time()}
+        row.update({k: float(v) for k, v in train_avg.items()})
+        if val_avg:
+            row.update({f"val_{k}": float(v) for k, v in val_avg.items()})
+        with open(os.path.join(self.outdir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
     def _params_finite(self) -> bool:
         return all(
             bool(jax.numpy.isfinite(leaf).all())
@@ -176,6 +188,7 @@ class Trainer:
                     val_avg = {k: v / max(vn, 1) for k, v in vsums.items()}
 
                 self.history.record_epoch(train_avg, val_avg)
+                self._append_metrics_jsonl(epoch, train_avg, val_avg)
                 log.info(
                     "epoch %d: loss=%.4f prec=%.3f rec=%.3f%s (%.1fs)",
                     epoch, train_avg["loss"], train_avg["precision"],

@@ -95,6 +95,33 @@ def test_sample_roll_never_splits_object(rng):
     assert not bad.any(), rolls[bad][:5]
 
 
+def test_vote_overflow_flagged():
+    """More candidate pixels than the budget -> vote_overflow True, and
+    the decode still returns a finite pose."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, max_candidates=64)
+    y_pred = np.zeros((SPEC.height, SPEC.width, 26), np.float32)
+    y_pred[..., 0] = 1.0
+    # a wide solid detection: rows 8-24, cols 400-700 (>> 64 candidates)
+    y_pred[8:24, 400:700, 1] = 0.9
+    y_pred[8:24, 400:700, 0] = 0.1
+    img = np.zeros((SPEC.height, SPEC.width, 3), np.float32)
+    img[..., 0] = 15.0  # valid returns everywhere
+    img[..., 1] = -0.5
+    out = decode_frame(jnp.asarray(y_pred), jnp.asarray(img), SPEC, cfg)
+    assert bool(out["vote_overflow"])
+    assert np.isfinite(np.asarray(out["pose"])).all()
+
+    # small detection stays under budget -> no overflow
+    y_pred2 = np.zeros_like(y_pred)
+    y_pred2[..., 0] = 1.0
+    y_pred2[10:16, 500:520, 1] = 0.9
+    y_pred2[10:16, 500:520, 0] = 0.1
+    out2 = decode_frame(jnp.asarray(y_pred2), jnp.asarray(img), SPEC, CFG)
+    assert not bool(out2["vote_overflow"])
+
+
 def test_multi_blob_picks_largest_then_earliest(rng):
     from tpufusion.decode import find_obstacle
 

@@ -4,11 +4,16 @@ full extraction into a dataset dir."""
 import numpy as np
 
 from tpufusion.data.rosbag_reader import (
+    RADAR_TRACKS_DEFINITION,
     BagReader,
     BagWriter,
     extract_bag_points,
+    parse_image,
     parse_pointcloud2,
+    parse_radar_tracks,
+    serialize_image,
     serialize_pointcloud2,
+    serialize_radar_tracks,
 )
 
 
@@ -88,3 +93,171 @@ def test_bag_to_dataset(tmp_path, rng):
     assert report["frames"] == 4
     data = load_extracted(str(out))
     assert data["images"].shape == (4, spec.height, spec.width, 3)
+
+
+def test_lz4_block_and_frame_roundtrip(rng):
+    from tpufusion.data.lz4 import (
+        lz4_block_compress,
+        lz4_block_decompress,
+        lz4_frame_compress,
+        lz4_frame_decompress,
+    )
+
+    cases = [
+        b"",
+        b"a",
+        b"abc" * 4000,  # highly compressible
+        bytes(rng.integers(0, 256, 70000).astype(np.uint8)),  # incompressible
+        bytes(rng.integers(0, 4, 150000).astype(np.uint8)),  # mixed
+        b"overlap" + b"x" * 3 + b"overlapoverlapoverlap",  # overlapping match
+    ]
+    for c in cases:
+        assert lz4_block_decompress(lz4_block_compress(c)) == c
+        assert lz4_frame_decompress(lz4_frame_compress(c)) == c
+    # compressible data actually compresses
+    big = b"lidar frame " * 10000
+    assert len(lz4_frame_compress(big)) < len(big) // 10
+
+
+def test_bag_chunk_compressions(tmp_path, rng):
+    pts = rng.normal(0, 20, (2000, 4)).astype(np.float32)
+    for comp in ("none", "bz2", "lz4"):
+        w = BagWriter(compression=comp)
+        w.add_connection(0, "/velodyne_points", "sensor_msgs/PointCloud2")
+        w.add_message(0, 1_000, serialize_pointcloud2(pts))
+        path = tmp_path / f"c_{comp}.bag"
+        w.write(str(path))
+        msgs = list(BagReader(str(path)).read_messages())
+        assert len(msgs) == 1
+        np.testing.assert_allclose(parse_pointcloud2(msgs[0].raw), pts)
+
+
+def test_radar_tracks_roundtrip(tmp_path):
+    tracks = [
+        {"range": 12.5, "angle": -3.0, "rate": 1.5, "status": 3,
+         "number": 7, "moving": True, "power": -2.5},
+        {"range": 40.0, "angle": 10.0, "accel": 0.5, "late_rate": 0.25,
+         "width": 1.5, "absolute_rate": -4.0},
+    ]
+    w = BagWriter(compression="lz4")
+    w.add_connection(0, "/radar/tracks", "radar_driver/RadarTracks",
+                     message_definition=RADAR_TRACKS_DEFINITION)
+    w.add_message(0, 5_000, serialize_radar_tracks(tracks, 5_000))
+    path = tmp_path / "radar.bag"
+    w.write(str(path))
+    msgs = list(BagReader(str(path)).read_messages())
+    rows = parse_radar_tracks(msgs[0])
+    assert len(rows) == 2
+    # the reference's 11 parse_msg fields + timestamp (radar_tracks.py:10-33)
+    for k in ("timestamp", "status", "number", "range", "rate", "accel",
+              "angle", "width", "late_rate", "moving", "power",
+              "absolute_rate"):
+        assert k in rows[0], k
+    assert rows[0]["timestamp"] == 5_000
+    assert abs(rows[0]["range"] - 12.5) < 1e-6
+    assert rows[0]["moving"] is True
+    assert abs(rows[1]["absolute_rate"] + 4.0) < 1e-6
+
+
+def test_rosmsg_generic_nested():
+    from tpufusion.data.rosmsg import decode_message, encode_message
+
+    definition = """\
+Header header
+string name
+float64[3] triple
+Inner[] items
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+================================================================================
+MSG: pkg/Inner
+int16 a
+uint64 b
+bool flag
+"""
+    msg = {
+        "header": {"seq": 42, "stamp": 1_500_000_000_123,
+                   "frame_id": "velodyne"},
+        "name": "obstacle",
+        "triple": [1.5, -2.5, 3.25],
+        "items": [
+            {"a": -7, "b": 2**40, "flag": True},
+            {"a": 100, "b": 0, "flag": False},
+        ],
+    }
+    raw = encode_message(msg, definition)
+    got = decode_message(raw, definition)
+    assert got["header"]["frame_id"] == "velodyne"
+    assert got["header"]["stamp"] == 1_500_000_000_123
+    assert got["name"] == "obstacle"
+    np.testing.assert_allclose(np.asarray(got["triple"]), msg["triple"])
+    assert got["items"][0] == {"a": -7, "b": 2**40, "flag": True}
+    assert got["items"][1]["flag"] is False
+
+
+def test_image_roundtrip(rng):
+    gray = rng.integers(0, 255, (32, 48)).astype(np.uint8)
+    img, enc = parse_image(serialize_image(gray, "mono8"))
+    assert enc == "mono8"
+    np.testing.assert_array_equal(img, gray)
+    rgb = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+    img, enc = parse_image(serialize_image(rgb, "rgb8"))
+    assert enc == "rgb8"
+    np.testing.assert_array_equal(img, rgb)
+
+
+def test_extract_bag_dataset_full(tmp_path, rng):
+    """.bag with clouds + images + radar -> one-call dataset dir
+    (the extract_rosbag.py main equivalent)."""
+    import os
+
+    from tpufusion.config import RangeViewSpec
+    from tpufusion.data.etl import (
+        extract_bag_dataset,
+        load_camera_extracted,
+        process_camera_frame,
+    )
+
+    w = BagWriter(compression="lz4")
+    w.add_connection(0, "/velodyne_points", "sensor_msgs/PointCloud2")
+    w.add_connection(1, "/image_raw", "sensor_msgs/Image")
+    w.add_connection(2, "/radar/tracks", "radar_driver/RadarTracks",
+                     message_definition=RADAR_TRACKS_DEFINITION)
+    t0 = 1_490_000_000_000_000_000
+    raw_imgs = []
+    for i in range(3):
+        pts = rng.normal(0, 20, (600, 4)).astype(np.float32)
+        w.add_message(0, t0 + i * 100_000_000, serialize_pointcloud2(pts))
+        img = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+        raw_imgs.append(img)
+        w.add_message(1, t0 + 30_000_000 + i * 100_000_000,
+                      serialize_image(img, "rgb8"))
+    w.add_message(2, t0 + 50_000_000,
+                  serialize_radar_tracks([{"range": 20.0, "angle": 4.0}],
+                                         t0 + 50_000_000))
+    bag = tmp_path / "full.bag"
+    w.write(str(bag))
+
+    out = tmp_path / "ds"
+    crop = (10, 42)
+    report = extract_bag_dataset(
+        str(bag), str(out), crop=crop,
+        spec=RangeViewSpec(res_h_deg=1.8), save_png=True,
+    )
+    assert report["frames"] == 3
+    cam = load_camera_extracted(str(out))
+    assert cam["images"].shape == (3, 32, 80)
+    expect = process_camera_frame(raw_imgs[0], "rgb8", None, crop)
+    np.testing.assert_array_equal(cam["images"][0], expect)
+    assert os.path.exists(out / "radar" / "radar_tracks.csv")
+    assert os.path.exists(out / "camera_timestamps.csv")
+    pngs = sorted(os.listdir(out / "camera"))
+    assert len(pngs) == 3 and pngs[0].endswith("_image.png")
+    # radar CSV is loadable by the radar track consumer
+    from tpufusion.data.radar import load_radar_csv
+
+    tracks = load_radar_csv(str(out / "radar" / "radar_tracks.csv"))
+    assert len(tracks) == 1 and abs(tracks[0].range - 20.0) < 1e-6

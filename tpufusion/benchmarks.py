@@ -99,9 +99,12 @@ def config2_replay() -> dict:
 
 
 def config3_fused() -> dict:
-    """Camera channels painted onto BEV before an FCN-style forward, plus
-    the late-fusion net forward (camera+lidar+radar)."""
-    from tpufusion.geometry.camera import CameraModel
+    """Camera channels painted onto BEV (per-frame gather through the
+    calibration table), the fused tensor through an FCN forward, plus the
+    late-fusion net forward (camera+lidar+radar) — all in one timed jit."""
+    from tpufusion.config import ModelConfig
+    from tpufusion.geometry.camera import CameraModel, rgb_onto_bev
+    from tpufusion.models.fusion import FusionNet
 
     cam = CameraModel()
     cam.width, cam.height = 1368, 512
@@ -113,39 +116,81 @@ def config3_fused() -> dict:
     )
 
     bev_spec = BevSpec(with_height_channel=True, with_intensity_channel=False)
-    graphdef, state = _model()
 
-    # device part: BEV raster + camera-channel concat + conv forward.
-    # camera painting is a static gather table (cell -> pixel), built once
-    from tpufusion.geometry.camera import rgb_onto_bev
+    # calibration paint table, built once on host: BEV cell -> camera pixel.
+    # Feeding coordinate planes through rgb_onto_bev yields (v, u, valid)
+    # tables with exactly the painter's projection + flips.
+    hc, wc = cam.height, cam.width
+    nx, ny = bev_spec.nx, bev_spec.ny
+    vv = np.broadcast_to(
+        np.arange(hc, dtype=np.float32)[:, None, None], (hc, wc, 1)
+    )
+    uu = np.broadcast_to(
+        np.arange(wc, dtype=np.float32)[None, :, None], (hc, wc, 1)
+    )
+    v_t = jnp.asarray(rgb_onto_bev(vv, cam, nx, ny)[..., 0].astype(np.int32))
+    u_t = jnp.asarray(rgb_onto_bev(uu, cam, nx, ny)[..., 0].astype(np.int32))
+    ok_t = jnp.asarray(
+        rgb_onto_bev(np.ones((hc, wc, 1), np.float32), cam, nx, ny)[..., 0]
+        > 0
+    )
 
-    table_img = np.zeros((512, 1368, 1), np.float32)
+    # FCN over the fused BEV tensor (density + height + camera channels);
+    # BEV transposed width-major and cropped 1199 -> 1197 so the encoder/
+    # decoder widths round-trip (needs even conv2 width).
+    bev_fcn = FCN(
+        ModelConfig(dtype="bfloat16"), in_channels=3, rngs=nnx.Rngs(1)
+    )
+    graphdef_b, state_b = nnx.split(bev_fcn)
+    fusion = FusionNet(
+        lidar_model=ModelConfig(dtype="bfloat16"),
+        camera_model=ModelConfig(
+            vertical_stride=2, use_regression=False, dtype="bfloat16"
+        ),
+        rngs=nnx.Rngs(2),
+    )
+    graphdef_f, state_f = nnx.split(fusion)
 
     @jax.jit
-    def fn(state, points, cam_bev):
-        bev = bev_rasterize_batch(points, bev_spec)
-        fused = jnp.concatenate(
-            [bev, jnp.broadcast_to(cam_bev, (*bev.shape[:3], 1))], axis=-1
+    def fn(state_b, state_f, points, cam_img, radar):
+        bev = bev_rasterize_batch(points, bev_spec)  # (B, nx, ny, 2)
+        painted = jnp.where(ok_t, cam_img[:, v_t, u_t, 0], 0.0)
+        fused = jnp.concatenate([bev, painted[..., None]], axis=-1)
+        fused = jnp.swapaxes(fused, 1, 2)[:, :, : nx - 2, :]
+        seg = nnx.merge(graphdef_b, state_b)(fused, train=False)
+        lidar_img = range_view_project_batch(points, SPEC)
+        centroid, rz = nnx.merge(graphdef_f, state_f)(
+            cam_img, lidar_img, radar, train=False
         )
-        return fused
+        return seg, centroid, rz
 
-    cam_bev = jnp.asarray(
-        rgb_onto_bev(table_img, cam, bev_spec.nx, bev_spec.ny)
-    )
-    sets = _point_sets(6, 8, 32768)
-    dt = measure(fn, [(state, p, cam_bev) for p in sets], reps=3)
+    batch = 8
+    sets = _point_sets(6, batch, 32768)
+    rng = np.random.default_rng(7)
+    args = []
+    for p in sets:
+        cam_img = jnp.asarray(
+            rng.uniform(0, 1, (batch, hc, wc, 1)).astype(np.float32)
+        )
+        radar = jnp.asarray(
+            rng.uniform(-1, 1, (batch, 2)).astype(np.float32)
+        )
+        args.append((state_b, state_f, p, cam_img, radar))
+    dt = measure(fn, args, reps=3)
     return {
         "config": 3,
-        "metric": "camera-painted BEV fusion (batch 8)",
-        "value": round(dt * 1e3 / 8, 3),
+        "metric": "camera-painted BEV + FCN + fusion-net forward (batch 8)",
+        "value": round(dt * 1e3 / batch, 3),
         "unit": "ms/frame",
-        "fps": round(8 / dt, 1),
+        "fps": round(batch / dt, 1),
     }
 
 
 def config4_full_eval() -> dict:
-    """Full challenge eval at batch 32: predict -> CSV -> tracklet XML ->
-    pose/IoU scoring (wall-clock includes the host-side artifacts)."""
+    """Full challenge eval at batch 32 with a quick-trained detector:
+    predict -> CSV -> tracklet XML -> pose/IoU scoring against the
+    synthetic generator's real ground truth (wall-clock includes the
+    host-side artifacts)."""
     import os
     import tempfile
     import time
@@ -156,14 +201,31 @@ def config4_full_eval() -> dict:
         write_predictions_csv,
     )
 
-    graphdef, state = _model()
+    graphdef, state = _quick_trained_state()
 
     from tpufusion.predict import make_e2e_step
 
     fn = make_e2e_step(graphdef, SPEC, CFG.decode)
 
-    frames = 128
-    sets = _point_sets(frames // 32, 32, 32768)
+    frames, batch = 128, 32
+    sets, truths = [], []
+    for i in range(frames // batch):
+        pts, gt = synthesize_points_batch(
+            jax.random.PRNGKey(1000 + i), batch, 32768
+        )
+        force(pts)
+        sets.append(pts)
+        truths.append(
+            np.concatenate(
+                [
+                    np.asarray(gt["center"]),
+                    np.asarray(gt["yaw"])[:, None],
+                    np.asarray(gt["size"]),
+                ],
+                axis=1,
+            )
+        )
+    truth = np.concatenate(truths)  # (F, 7) tx ty tz rz l w h
     r = fn(state, sets[0])
     force(r)
     t0 = time.perf_counter()
@@ -180,7 +242,6 @@ def config4_full_eval() -> dict:
             csv_path, ts, {"l": 4.2, "w": 1.6, "h": 1.5},
             os.path.join(d, "sub.xml"),
         )
-    truth = poses.copy()
     scores = score_poses(poses, truth)
     dt = time.perf_counter() - t0
     return {
@@ -189,12 +250,37 @@ def config4_full_eval() -> dict:
         "value": round(frames / dt, 1),
         "unit": "frames/s",
         "detection_rate": scores["detection_rate"],
+        "mean_iou": round(scores["mean_iou"], 3),
+        "recall@iou0.25": scores["recall@iou0.25"],
+        "mean_xy_err": round(scores.get("mean_xy_err", float("nan")), 3),
     }
 
 
-def _quick_trained_state(n_points: int = 32768):
-    """40 synthetic training steps so the detector actually detects —
-    exercises the decode's real (detection-load) paths."""
+def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
+                         steps_per_batch: int = 15):
+    """Detector weights for configs 4/5: load the shipped synthetic-scene
+    asset (tpufusion/assets/synthetic_detector.npz, produced by
+    tools/train_synthetic_detector and picked by held-out eval score) when
+    present; otherwise ~120 in-benchmark training steps over several
+    distinct scene batches. Either way the decode's real (detection-load)
+    paths are exercised on unseen scenes."""
+    import os
+
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets", "synthetic_detector.npz",
+    )
+    if os.path.exists(asset):
+        from tpufusion.models.io import load_state_npz
+
+        model = FCN(
+            dataclasses.replace(CFG.model, dtype="bfloat16"),
+            in_channels=3, rngs=nnx.Rngs(0),
+        )
+        load_state_npz(asset, model)
+        log(f"loaded detector asset {asset}")
+        return nnx.split(model)
+
     import optax
 
     from tpufusion.config import LossConfig, TrainConfig
@@ -219,12 +305,16 @@ def _quick_trained_state(n_points: int = 32768):
         ),
         TrainConfig(batch_size=32, augment=False),
     )
-    batch = {"points": pts, "center": gt["center"],
-             "size": gt["size"], "yaw": gt["yaw"]}
     key = jax.random.PRNGKey(0)
-    for _ in range(40):
-        key, sub = jax.random.split(key)
-        step(model, opt, batch, sub)
+    for i in range(n_batches):
+        pts, gt = synthesize_points_batch(
+            jax.random.PRNGKey(42 + i), 32, n_points
+        )
+        batch = {"points": pts, "center": gt["center"],
+                 "size": gt["size"], "yaw": gt["yaw"]}
+        for _ in range(steps_per_batch):
+            key, sub = jax.random.split(key)
+            step(model, opt, batch, sub)
     return nnx.split(model)
 
 

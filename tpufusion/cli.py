@@ -17,10 +17,8 @@ import numpy as np
 
 
 def _cmd_train(args):
-    from flax import nnx
-
-    from tpufusion.config import DEFAULT, LossConfig
-    from tpufusion.data.etl import load_extracted
+    from tpufusion.config import DEFAULT, LossConfig, ModelConfig
+    from tpufusion.data.etl import load_camera_extracted, load_extracted
     from tpufusion.data.pipeline import BatchPipeline
     from tpufusion.data.registry import load_pose_csv, read_registry
     from tpufusion.train.stats import population_weights
@@ -28,6 +26,19 @@ def _cmd_train(args):
 
     import dataclasses
     import os
+
+    camera = None
+    if args.source == "camera":
+        # camera-source training needs the camera model to rasterize
+        # footprint labels (reference train.py:109-122 + encoder.py:270-327)
+        from tpufusion.geometry.camera import CameraModel
+
+        if not args.camera_yaml:
+            p_err = "--camera_yaml is required with --source camera"
+            raise SystemExit(p_err)
+        camera = CameraModel().load_camera_calibration(
+            args.camera_yaml, args.extrinsic_yaml
+        )
 
     def load_dirset(ds):
         data = load_extracted(ds.dir)
@@ -47,13 +58,45 @@ def _cmd_train(args):
             "size": np.tile(size, (len(rows), 1)),
         }
 
-    parts = [load_dirset(ds) for ds in read_registry(args.train_file, args.dir_prefix)]
+    def load_camera_dirset(ds):
+        from tpufusion.geometry.camera import camera_label_footprint
+
+        data = load_camera_extracted(ds.dir)
+        poses = load_pose_csv(os.path.join(ds.dir, "obs_poses_camera.csv"))
+        by_ts = {p["timestamp"]: p for p in poses}
+        rows = [by_ts[int(t)] for t in data["timestamps"] if int(t) in by_ts]
+        keep = [i for i, t in enumerate(data["timestamps"]) if int(t) in by_ts]
+        imgs = data["images"][keep].astype(np.float32) / 255.0
+        if imgs.ndim == 3:
+            imgs = imgs[..., None]
+        hw = imgs.shape[1:3]
+        size = np.asarray(ds.obstacle_size, np.float32)
+        labels = np.zeros((len(rows), *hw, 2), np.float32)
+        for i, r in enumerate(rows):
+            center = np.asarray([r["tx"], r["ty"], r["tz"]])
+            labels[i], _ = camera_label_footprint(
+                center, size, camera, hw, crop_top=args.crop_top
+            )
+        return {"images": imgs, "labels": labels}
+
+    loader = load_camera_dirset if args.source == "camera" else load_dirset
+    parts = [loader(ds) for ds in read_registry(args.train_file, args.dir_prefix)]
     train_data = {
         k: np.concatenate([p[k] for p in parts]) for k in parts[0]
     }
-    stats = population_weights(
-        train_data["center"], train_data["size"], train_data["yaw"]
-    )
+    if args.source == "camera":
+        # population stats from the rasterized footprints (pretrain.py:8-32)
+        pos = train_data["labels"][..., 1]
+        stats = {
+            "positive_to_negative_ratio": float(
+                pos.sum() / max((1.0 - pos).sum(), 1.0)
+            ),
+            "average_area": float(pos.sum() / max(len(pos), 1)),
+        }
+    else:
+        stats = population_weights(
+            train_data["center"], train_data["size"], train_data["yaw"]
+        )
     print("population stats:", stats, file=sys.stderr)
     cfg = DEFAULT.replace(
         loss=LossConfig(
@@ -68,13 +111,19 @@ def _cmd_train(args):
             learning_rate=args.lr,
         ),
     )
-    trainer = Trainer(cfg, outdir=args.outdir)
+    in_channels = 3
+    if args.source == "camera":
+        cfg = cfg.replace(
+            model=ModelConfig(vertical_stride=2, use_regression=False)
+        )
+        in_channels = 1
+    trainer = Trainer(cfg, outdir=args.outdir, in_channels=in_channels)
     if args.resume:
         trainer.resume()
     val_pipe = None
     if args.val_file:
         vparts = [
-            load_dirset(ds) for ds in read_registry(args.val_file, args.dir_prefix)
+            loader(ds) for ds in read_registry(args.val_file, args.dir_prefix)
         ]
         val_data = {k: np.concatenate([p[k] for p in vparts]) for k in vparts[0]}
         val_pipe = BatchPipeline(val_data, cfg.train.batch_size, shuffle=False)
@@ -137,16 +186,29 @@ def _cmd_score(args):
 
 
 def _cmd_extract(args):
-    from tpufusion.data.etl import extract_dataset
+    if args.input.endswith(".bag"):
+        from tpufusion.data.etl import extract_bag_dataset
 
-    npz = np.load(args.input)
-    report = extract_dataset(
-        args.output_dir,
-        npz["points"],
-        npz["timestamps"],
-        tracklet_xml=args.tracklet,
-        camera_timestamps=npz.get("camera_timestamps"),
-    )
+        report = extract_bag_dataset(
+            args.input,
+            args.output_dir,
+            tracklet_xml=args.tracklet,
+            camera_yaml=args.camera_yaml,
+            extrinsic_yaml=args.extrinsic_yaml,
+            crop=(args.crop_top, args.crop_bottom),
+            save_png=args.png,
+        )
+    else:
+        from tpufusion.data.etl import extract_dataset
+
+        npz = np.load(args.input)
+        report = extract_dataset(
+            args.output_dir,
+            npz["points"],
+            npz["timestamps"],
+            tracklet_xml=args.tracklet,
+            camera_timestamps=npz.get("camera_timestamps"),
+        )
     print(json.dumps(report))
 
 
@@ -179,7 +241,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="tpufusion")
     sub = p.add_subparsers(dest="cmd", required=True)
 
-    t = sub.add_parser("train", help="train the lidar FCN")
+    t = sub.add_parser("train", help="train the lidar or camera FCN")
     t.add_argument("--train_file", required=True)
     t.add_argument("--val_file", default=None)
     t.add_argument("--dir_prefix", default="")
@@ -188,6 +250,14 @@ def main(argv=None):
     t.add_argument("--epochs", type=int, default=100)
     t.add_argument("--lr", type=float, default=1e-3)
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--source", choices=("lidar", "camera"), default="lidar",
+                   help="training data source (train.py:109-122)")
+    t.add_argument("--camera_yaml", default=None,
+                   help="camera intrinsics YAML (camera source)")
+    t.add_argument("--extrinsic_yaml", default=None,
+                   help="lidar->camera extrinsics YAML (camera source)")
+    t.add_argument("--crop_top", type=int, default=430,
+                   help="camera crop offset used at extraction")
     t.set_defaults(fn=_cmd_train)
 
     pr = sub.add_parser("predict", help="batch inference -> pose CSV")
@@ -216,10 +286,18 @@ def main(argv=None):
     sc.add_argument("--h", type=float, default=0.0)
     sc.set_defaults(fn=_cmd_score)
 
-    ex = sub.add_parser("extract", help="points NPZ -> dataset dir")
+    ex = sub.add_parser("extract", help=".bag or points NPZ -> dataset dir")
     ex.add_argument("input")
     ex.add_argument("output_dir")
     ex.add_argument("--tracklet", default=None)
+    ex.add_argument("--camera_yaml", default=None,
+                    help="camera intrinsics YAML (enables rectification)")
+    ex.add_argument("--extrinsic_yaml", default=None,
+                    help="lidar->camera extrinsics YAML")
+    ex.add_argument("--crop_top", type=int, default=430)
+    ex.add_argument("--crop_bottom", type=int, default=942)
+    ex.add_argument("--png", action="store_true",
+                    help="also save per-frame camera PNGs")
     ex.set_defaults(fn=_cmd_extract)
 
     ca = sub.add_parser("calibrate", help="SLSQP lidar->camera extrinsics")

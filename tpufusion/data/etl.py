@@ -71,6 +71,31 @@ def max_gap_report(streams: dict[str, np.ndarray]) -> dict[str, float]:
     return out
 
 
+def process_camera_frame(
+    img: np.ndarray,
+    encoding: str = "mono8",
+    camera=None,  # CameraModel with loaded calibration, or None
+    crop: tuple[int, int] = (430, 942),
+) -> np.ndarray:
+    """One camera frame -> training-ready grayscale: rectify (when a
+    camera model is given), then crop rows — the reference's `save_image`
+    order (`extract_rosbag.py:71-76`, crop rows 430:942 per
+    `process/globals.py:15-16`) plus the grayscale conversion its loader
+    did at training time (`train/loader.py:211-231`)."""
+    img = np.asarray(img)
+    if camera is not None:
+        img = camera.rectify_image(img)
+    img = img[crop[0] : crop[1]]
+    if img.ndim == 3 and img.shape[2] >= 3:
+        # ITU-R 601 luma, matching cv2 grayscale conversion
+        order = (2, 1, 0) if encoding.startswith("bgr") else (0, 1, 2)
+        r, g, b = (img[..., i].astype(np.float32) for i in order)
+        img = (0.299 * r + 0.587 * g + 0.114 * b).round().astype(np.uint8)
+    elif img.ndim == 3:
+        img = img[..., 0]
+    return img
+
+
 def extract_dataset(
     out_dir: str,
     lidar_points: np.ndarray,  # (F, N, 4) padded clouds (NaN padding ok)
@@ -78,9 +103,11 @@ def extract_dataset(
     tracklet_xml: str | None = None,  # ground-truth tracklet file
     camera_timestamps: np.ndarray | None = None,
     radar_rows: list[dict] | None = None,
+    camera_frames: np.ndarray | None = None,  # (Fc, H, W) uint8 processed
     spec: RangeViewSpec = RangeViewSpec(),
     bev: BevSpec | None = None,
     batch: int = 32,
+    save_png: bool = False,
 ) -> dict:
     os.makedirs(out_dir, exist_ok=True)
 
@@ -114,10 +141,29 @@ def extract_dataset(
     _write_ts_csv(os.path.join(out_dir, "lidar_timestamps.csv"), lidar_timestamps)
     if camera_timestamps is not None:
         camera_timestamps = np.asarray(camera_timestamps, np.int64)
-        camera_timestamps = camera_timestamps[_dedup(camera_timestamps)]
+        cam_keep = _dedup(camera_timestamps)
+        camera_timestamps = camera_timestamps[cam_keep]
         _write_ts_csv(
             os.path.join(out_dir, "camera_timestamps.csv"), camera_timestamps
         )
+        if camera_frames is not None:
+            camera_frames = np.asarray(camera_frames)[cam_keep]
+            np.savez_compressed(
+                os.path.join(out_dir, "camera_frames.npz"),
+                images=camera_frames,
+                timestamps=camera_timestamps,
+            )
+            if save_png:
+                # per-frame PNGs in the reference's camera/ layout
+                # (`extract_rosbag.py:73-76`)
+                from PIL import Image as PILImage
+
+                png_dir = os.path.join(out_dir, "camera")
+                os.makedirs(png_dir, exist_ok=True)
+                for ts, frame in zip(camera_timestamps, camera_frames):
+                    PILImage.fromarray(frame).save(
+                        os.path.join(png_dir, f"{int(ts)}_image.png")
+                    )
 
     if radar_rows:
         os.makedirs(os.path.join(out_dir, "radar"), exist_ok=True)
@@ -153,3 +199,83 @@ def extract_dataset(
 def load_extracted(out_dir: str) -> dict[str, np.ndarray]:
     data = np.load(os.path.join(out_dir, "lidar_frames.npz"))
     return {"images": data["images"], "timestamps": data["timestamps"]}
+
+
+def load_camera_extracted(out_dir: str) -> dict[str, np.ndarray]:
+    data = np.load(os.path.join(out_dir, "camera_frames.npz"))
+    return {"images": data["images"], "timestamps": data["timestamps"]}
+
+
+def extract_bag_dataset(
+    bag_path: str,
+    out_dir: str,
+    tracklet_xml: str | None = None,
+    camera_yaml: str | None = None,
+    extrinsic_yaml: str | None = None,
+    crop: tuple[int, int] = (430, 942),
+    lidar_topic: str = "/velodyne_points",
+    image_topic: str = "/image_raw",
+    radar_topic: str = "/radar/tracks",
+    spec: RangeViewSpec = RangeViewSpec(),
+    bev: BevSpec | None = None,
+    save_png: bool = False,
+) -> dict:
+    """One command: `.bag` -> full dataset dir, the counterpart of the
+    reference's `extract_rosbag.py main` (`:234-314`): lidar clouds ->
+    range-view tensors, `/image_raw` -> rectified+cropped camera frames
+    (`handle_msg:141-160`), `/radar/tracks` -> CSV rows (`:136-139`),
+    timestamp CSVs, and tracklet ground truth interpolated onto both
+    streams."""
+    from tpufusion.data.rosbag_reader import (
+        BagReader,
+        parse_image,
+        parse_pointcloud2,
+        parse_radar_tracks,
+    )
+
+    camera = None
+    if camera_yaml is not None:
+        from tpufusion.geometry.camera import CameraModel
+
+        camera = CameraModel().load_camera_calibration(
+            camera_yaml, extrinsic_yaml
+        )
+
+    reader = BagReader(bag_path)
+    clouds: list[np.ndarray] = []
+    lidar_ts: list[int] = []
+    cam_frames: list[np.ndarray] = []
+    cam_ts: list[int] = []
+    radar_rows: list[dict] = []
+    for msg in reader.read_messages():
+        if msg.topic == lidar_topic or msg.msg_type == "sensor_msgs/PointCloud2":
+            clouds.append(parse_pointcloud2(msg.raw))
+            lidar_ts.append(msg.timestamp)
+        elif msg.topic == image_topic or msg.msg_type == "sensor_msgs/Image":
+            img, encoding = parse_image(msg.raw)
+            cam_frames.append(
+                process_camera_frame(img, encoding, camera, crop)
+            )
+            cam_ts.append(msg.timestamp)
+        elif msg.topic == radar_topic:
+            radar_rows.extend(parse_radar_tracks(msg))
+
+    if not clouds:
+        raise ValueError(f"no {lidar_topic!r} messages in {bag_path}")
+    nmax = max(len(c) for c in clouds)
+    points = np.full((len(clouds), nmax, 4), np.nan, np.float32)
+    for i, c in enumerate(clouds):
+        points[i, : len(c)] = c
+
+    return extract_dataset(
+        out_dir,
+        points,
+        np.asarray(lidar_ts, np.int64),
+        tracklet_xml=tracklet_xml,
+        camera_timestamps=np.asarray(cam_ts, np.int64) if cam_ts else None,
+        radar_rows=radar_rows,
+        camera_frames=np.stack(cam_frames) if cam_frames else None,
+        spec=spec,
+        bev=bev,
+        save_png=save_png,
+    )

@@ -3,9 +3,11 @@
 The reference consumes `.bag` files through the ROS stack (rosbag,
 sensor_msgs.point_cloud2, cv_bridge); none of that exists here, so this
 module implements the bag container format directly: record framing,
-chunk decompression (none/bz2), connection records, and deserializers for
-the message types the pipeline needs — sensor_msgs/PointCloud2,
-sensor_msgs/Image, and flat numeric messages (radar tracks).
+chunk decompression (none/bz2/lz4), connection records, and
+deserializers for the message types the pipeline needs —
+sensor_msgs/PointCloud2, sensor_msgs/Image, and radar tracks (decoded
+generically from the connection's embedded message definition via
+tpufusion.data.rosmsg, matching `radar_tracks.py:10-33`).
 
 Format: http://wiki.ros.org/Bags/Format/2.0 — every record is
   <u32 header_len><header fields><u32 data_len><data>
@@ -65,6 +67,7 @@ class Connection:
     topic: str
     msg_type: str = ""
     md5sum: str = ""
+    message_definition: str = ""
 
 
 @dataclass
@@ -73,6 +76,7 @@ class BagMessage:
     msg_type: str
     timestamp: int  # nanoseconds
     raw: bytes
+    definition: str = ""  # embedded .msg definition from the connection
 
 
 class BagReader:
@@ -92,6 +96,9 @@ class BagReader:
             topic=header["topic"].decode(),
             msg_type=fields.get("type", b"").decode(),
             md5sum=fields.get("md5sum", b"").decode(),
+            message_definition=fields.get(
+                "message_definition", b""
+            ).decode(errors="replace"),
         )
 
     def read_messages(self, topics=None):
@@ -109,9 +116,13 @@ class BagReader:
                         payload = data
                     elif comp == "bz2":
                         payload = bz2.decompress(data)
+                    elif comp == "lz4":
+                        from tpufusion.data.lz4 import lz4_frame_decompress
+
+                        payload = lz4_frame_decompress(data)
                     else:
                         raise NotImplementedError(
-                            f"chunk compression {comp!r} (lz4 not available)"
+                            f"chunk compression {comp!r}"
                         )
                     yield from walk(payload)
                 elif op == _OP_MSG:
@@ -127,6 +138,7 @@ class BagReader:
                         msg_type=conn.msg_type,
                         timestamp=sec * 1_000_000_000 + nsec,
                         raw=data,
+                        definition=conn.message_definition,
                     )
                 # 0x03/0x04/0x06 carry no messages
 
@@ -250,6 +262,61 @@ def parse_image(raw: bytes):
     return img, encoding
 
 
+def parse_radar_tracks(msg: BagMessage) -> list[dict]:
+    """/radar/tracks message -> list of per-track dicts with a timestamp,
+    exactly the rows `radar_tracks.parse_msg` produced
+    (`modules/lidar/process/radar_tracks.py:10-33`). The wire layout is
+    interpreted from the connection's embedded message definition, so any
+    RadarTracks-like type (a `tracks` array of flat records) decodes."""
+    from tpufusion.data.rosmsg import decode_message
+
+    if not msg.definition:
+        raise ValueError(
+            f"connection for {msg.topic!r} carries no message definition"
+        )
+    decoded = decode_message(msg.raw, msg.definition)
+    tracks = decoded.get("tracks")
+    if tracks is None:
+        raise ValueError(
+            f"{msg.msg_type!r} has no 'tracks' field: {sorted(decoded)}"
+        )
+    out = []
+    for tr in tracks:
+        row = {"timestamp": msg.timestamp}
+        row.update(
+            {k: v for k, v in tr.items() if isinstance(v, (int, float, bool))}
+        )
+        out.append(row)
+    return out
+
+
+# A plausible didi-era RadarTracks definition (the real package lived in
+# the unvendored didi-competition submodule); used by fixtures/tests. Real
+# bags override this via their embedded definition.
+RADAR_TRACKS_DEFINITION = """\
+Header header
+Track[] tracks
+================================================================================
+MSG: std_msgs/Header
+uint32 seq
+time stamp
+string frame_id
+================================================================================
+MSG: radar_driver/Track
+uint8 status
+uint8 number
+float32 range
+float32 rate
+float32 accel
+float32 angle
+float32 width
+float32 late_rate
+bool moving
+float32 power
+float32 absolute_rate
+"""
+
+
 # ---- writer (fixtures / tests) ----
 
 
@@ -267,20 +334,32 @@ def _record(fields: dict[str, bytes], data: bytes) -> bytes:
 
 
 class BagWriter:
-    """Writes a valid single-chunk uncompressed v2.0 bag."""
+    """Writes a valid single-chunk v2.0 bag (compression none/bz2/lz4)."""
 
-    def __init__(self):
+    def __init__(self, compression: str = "none"):
+        if compression not in ("none", "bz2", "lz4"):
+            raise ValueError(f"unsupported compression {compression!r}")
+        self.compression = compression
         self._chunk = b""
         self._count = 0
 
-    def add_connection(self, conn_id: int, topic: str, msg_type: str):
+    def add_connection(
+        self, conn_id: int, topic: str, msg_type: str,
+        message_definition: str = "",
+    ):
         self._chunk += _record(
             {
                 "op": bytes([_OP_CONN]),
                 "conn": struct.pack("<I", conn_id),
                 "topic": topic.encode(),
             },
-            _header_bytes({"type": msg_type.encode(), "md5sum": b"0" * 32}),
+            _header_bytes(
+                {
+                    "type": msg_type.encode(),
+                    "md5sum": b"0" * 32,
+                    "message_definition": message_definition.encode(),
+                }
+            ),
         )
 
     def add_message(self, conn_id: int, t_ns: int, raw: bytes):
@@ -309,14 +388,22 @@ class BagWriter:
                     b" " * 4096,  # bag headers are padded
                 )
             )
+            if self.compression == "bz2":
+                payload = bz2.compress(self._chunk)
+            elif self.compression == "lz4":
+                from tpufusion.data.lz4 import lz4_frame_compress
+
+                payload = lz4_frame_compress(self._chunk)
+            else:
+                payload = self._chunk
             f.write(
                 _record(
                     {
                         "op": bytes([_OP_CHUNK]),
-                        "compression": b"none",
+                        "compression": self.compression.encode(),
                         "size": struct.pack("<I", len(self._chunk)),
                     },
-                    self._chunk,
+                    payload,
                 )
             )
 
@@ -338,6 +425,39 @@ def serialize_pointcloud2(points: np.ndarray, frame_id: str = "velodyne"):
     buf += struct.pack("<I", len(raw)) + raw
     buf += struct.pack("<B", 1)  # is_dense
     return buf
+
+
+def serialize_image(img: np.ndarray, encoding: str = "mono8",
+                    frame_id: str = "camera") -> bytes:
+    """(H, W[, C]) uint8 -> sensor_msgs/Image raw bytes."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    c = img.shape[2] if img.ndim == 3 else 1
+    buf = struct.pack("<I", 0) + struct.pack("<II", 0, 0)
+    buf += struct.pack("<I", len(frame_id)) + frame_id.encode()
+    buf += struct.pack("<II", h, w)
+    buf += struct.pack("<I", len(encoding)) + encoding.encode()
+    buf += struct.pack("<BI", 0, w * c)  # is_bigendian, step
+    raw = img.tobytes()
+    buf += struct.pack("<I", len(raw)) + raw
+    return buf
+
+
+def serialize_radar_tracks(tracks: list[dict], t_ns: int = 0) -> bytes:
+    """Track dicts -> RadarTracks raw bytes per RADAR_TRACKS_DEFINITION
+    (fixture/test helper; fields default to 0)."""
+    from tpufusion.data.rosmsg import encode_message
+
+    defaults = {
+        "status": 0, "number": 0, "range": 0.0, "rate": 0.0, "accel": 0.0,
+        "angle": 0.0, "width": 0.0, "late_rate": 0.0, "moving": False,
+        "power": 0.0, "absolute_rate": 0.0,
+    }
+    msg = {
+        "header": {"seq": 0, "stamp": t_ns, "frame_id": "radar"},
+        "tracks": [{**defaults, **t} for t in tracks],
+    }
+    return encode_message(msg, RADAR_TRACKS_DEFINITION)
 
 
 def extract_bag_points(

@@ -1,0 +1,126 @@
+"""Train the synthetic-scene detector asset used by the benchmarks.
+
+BASELINE configs 4/5 need a detector that genuinely detects on unseen
+synthetic scenes (quick in-benchmark training overfits and over-fires).
+This tool trains the FCN to convergence on an infinite stream of fresh
+synthetic scenes and exports the best-by-eval weights to
+`tpufusion/assets/synthetic_detector.npz` (loaded by
+tpufusion.benchmarks; small enough to ship in-repo, like the reference
+shipped `modules/lidar/data/lidar_model.h5`).
+
+Run: python -m tpufusion.tools.train_synthetic_detector [--steps 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import numpy as np
+import optax
+from flax import nnx
+
+from tpufusion.config import DEFAULT, LossConfig, TrainConfig
+from tpufusion.data.synthetic import synthesize_points_batch
+from tpufusion.geometry.range_view import range_view_project_batch
+from tpufusion.decode.decode import decode_batch
+from tpufusion.models.fcn import FCN
+from tpufusion.models.io import save_state_npz
+from tpufusion.train.stats import population_weights
+from tpufusion.train.train_step import make_train_step
+
+ASSET = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "assets", "synthetic_detector.npz",
+)
+
+
+def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768, seed=999):
+    pts, gt = synthesize_points_batch(jax.random.PRNGKey(seed), batch, n_points)
+    imgs = range_view_project_batch(pts, spec)
+    preds = nnx.merge(graphdef, state)(imgs, train=False)
+    out = decode_batch(preds, imgs, spec, dcfg)
+    po = np.asarray(out["pose"])
+    fd = np.asarray(out["found"])
+    tr = np.asarray(gt["center"])
+    d = np.linalg.norm(po[:, :2] - tr[:, :2], axis=1)
+    det = float(fd.mean())
+    within2 = float((d < 2.0)[fd].mean()) if fd.any() else 0.0
+    err = float(d[fd].mean()) if fd.any() else float("nan")
+    return {"det": det, "xy_err": err, "within2m": within2,
+            "score": det * within2}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n_points", type=int, default=32768)
+    ap.add_argument("--eval_every", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default=ASSET)
+    args = ap.parse_args(argv)
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    model = FCN(
+        dataclasses.replace(cfg.model, dtype="bfloat16"),
+        in_channels=3, rngs=nnx.Rngs(0),
+    )
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, 50, args.steps, args.lr * 0.03
+    )
+    opt = nnx.Optimizer(model, optax.adam(sched), wrt=nnx.Param)
+
+    pts, gt = synthesize_points_batch(jax.random.PRNGKey(42), args.batch,
+                                      args.n_points)
+    stats = population_weights(
+        np.asarray(gt["center"]), np.asarray(gt["size"]),
+        np.asarray(gt["yaw"]), spec,
+    )
+    step = make_train_step(
+        spec,
+        LossConfig(
+            obj_to_bkg_ratio=stats["positive_to_negative_ratio"],
+            avg_obj_size=stats["average_area"],
+        ),
+        TrainConfig(batch_size=args.batch, augment=True),
+    )
+    graphdef, _ = nnx.split(model)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    best = {"score": -1.0}
+    key = jax.random.PRNGKey(7)
+    t0 = time.time()
+    for s in range(1, args.steps + 1):
+        p, g = synthesize_points_batch(
+            jax.random.PRNGKey(100_000 + s), args.batch, args.n_points
+        )
+        batch = {"points": p, "center": g["center"], "size": g["size"],
+                 "yaw": g["yaw"]}
+        key, sub = jax.random.split(key)
+        loss, _ = step(model, opt, batch, sub)
+        if s % args.eval_every == 0 or s == args.steps:
+            _, state = nnx.split(model)
+            ev = evaluate(graphdef, state, spec, cfg.decode,
+                          args.batch, args.n_points)
+            print(
+                f"step {s}: loss {float(loss):.3f} det {ev['det']:.2f} "
+                f"xy_err {ev['xy_err']:.2f} within2m {ev['within2m']:.2f} "
+                f"({time.time() - t0:.0f}s)", flush=True,
+            )
+            if ev["score"] > best["score"]:
+                best = {**ev, "step": s}
+                save_state_npz(args.out, model)
+    with open(args.out + ".json", "w") as f:
+        json.dump({"best": best, "steps": args.steps,
+                   "batch": args.batch, "n_points": args.n_points}, f)
+    print("best:", best, "->", args.out)
+
+
+if __name__ == "__main__":
+    main()

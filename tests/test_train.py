@@ -253,3 +253,57 @@ def test_checkpoint_roundtrip(tmp_path):
     got = np.asarray(model2(x))
     np.testing.assert_array_equal(got, want)
     mgr.close()
+
+
+def test_fit_recovers_from_divergence(tmp_path):
+    """fit() detects a non-finite loss within divergence_check_every steps,
+    restores the last checkpoint, and finishes with finite weights —
+    without any per-step host sync (drains ~steps/check_every times)."""
+    from tpufusion.config import PipelineConfig
+    from tpufusion.data.pipeline import BatchPipeline
+    from tpufusion.data.synthetic import synthesize_dataset
+    from tpufusion.geometry.range_view import range_view_project_batch
+    from tpufusion.train.trainer import Trainer
+
+    cfg = PipelineConfig(
+        range_view=SMALL_SPEC,
+        train=TrainConfig(
+            batch_size=4, epochs=1, augment=False, divergence_check_every=2
+        ),
+    )
+    trainer = Trainer(cfg, outdir=str(tmp_path / "run"))
+    trainer.ckpt.save(0, trainer.model, trainer.optimizer)
+    good = np.asarray(trainer.model.conv1.kernel[...]).copy()
+    # poison the live weights: every loss is NaN until recovery restores
+    k = trainer.model.conv1.kernel
+    k[...] = jnp.full_like(k[...], jnp.nan)
+
+    data = synthesize_dataset(seed=3, num_frames=16, n_points=2048)
+    images = np.asarray(
+        range_view_project_batch(jnp.asarray(data["points"]), SMALL_SPEC)
+    )
+    train_data = {
+        "images": images,
+        "center": data["center"],
+        "size": data["size"],
+        "yaw": data["yaw"],
+    }
+    drains = []
+    orig = trainer._drain
+
+    def counting_drain(pending, sums, nb):
+        drains.append(len(pending))
+        return orig(pending, sums, nb)
+
+    trainer._drain = counting_drain
+    hist = trainer.fit(BatchPipeline(train_data, 4, seed=0))
+    # recovery happened: finite weights again, and post-recovery batches
+    # were recorded with finite losses
+    now = np.asarray(trainer.model.conv1.kernel[...])
+    assert np.isfinite(now).all()
+    assert len(hist.batch["loss"]) > 0
+    assert np.isfinite(hist.batch["loss"]).all()
+    # host pulls were batched, not per step
+    assert all(n <= 2 for n in drains) and len(drains) >= 2
+    # the restored-then-trained weights moved off the checkpoint
+    assert np.abs(now - good).max() > 0

@@ -145,6 +145,10 @@ class TrainConfig:
     # accumulate gradients over N micro-batches before applying the update
     # (effective batch = batch_size * grad_accum_steps); 1 = off
     grad_accum_steps: int = 1
+    # pull metrics/loss to host only every N steps: the train loop stays
+    # async (no per-step device round-trip) and divergence is still
+    # detected within N steps of the event
+    divergence_check_every: int = 25
 
 
 @dataclass(frozen=True)

@@ -140,6 +140,22 @@ class Trainer:
             for leaf in jax.tree.leaves(nnx.state(self.model, nnx.Param))
         )
 
+    def _drain(self, pending: list, sums: dict, nb: int):
+        """One host transfer for a span of queued device-side metrics.
+        Returns (all_finite, nb, sums); on a non-finite loss the whole
+        span is discarded (the weights are suspect from the divergence
+        point onward, and the caller restores a checkpoint)."""
+        host = jax.device_get(pending)
+        for m in host:
+            if not np.isfinite(m["loss"]):
+                return False, nb, sums
+        for m in host:
+            self.history.record_batch(m)
+            nb += 1
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        return True, nb, sums
+
     def fit(
         self,
         train_pipe: BatchPipeline,
@@ -149,26 +165,35 @@ class Trainer:
         cfg = self.cfg.train
         epochs = epochs if epochs is not None else cfg.epochs
         key = jax.random.PRNGKey(cfg.seed)
+        check_every = max(int(cfg.divergence_check_every), 1)
         try:
             for epoch in range(epochs):
                 t0 = time.time()
                 sums, nb = {}, 0
+                pending: list = []
                 diverged_unrecoverable = False
+                # the loop body issues NO device->host transfer: metrics
+                # stay on device and drain every check_every steps, so
+                # dispatch runs ahead of execution (the reference blocked
+                # on fit's feed_dict every batch; round 1 blocked on
+                # float(loss) every step)
                 for batch in train_pipe.epoch():
                     key, sub = jax.random.split(key)
-                    loss, metrics = self.train_step(
+                    _, metrics = self.train_step(
                         self.model, self.optimizer, batch, sub
                     )
-                    if not np.isfinite(float(loss)):
-                        if not self._recover_from_divergence():
+                    pending.append(metrics)
+                    self.step += 1
+                    if len(pending) >= check_every:
+                        ok, nb, sums = self._drain(pending, sums, nb)
+                        pending = []
+                        if not ok and not self._recover_from_divergence():
                             diverged_unrecoverable = True
                             break
-                        continue
-                    self.step += 1
-                    nb += 1
-                    self.history.record_batch(metrics)
-                    for k, v in metrics.items():
-                        sums[k] = sums.get(k, 0.0) + float(v)
+                if pending and not diverged_unrecoverable:
+                    ok, nb, sums = self._drain(pending, sums, nb)
+                    if not ok and not self._recover_from_divergence():
+                        diverged_unrecoverable = True
                 if diverged_unrecoverable or nb == 0:
                     log.error(
                         "epoch %d: training diverged with nothing to "

@@ -136,3 +136,63 @@ def test_multi_blob_picks_largest_then_earliest(rng):
     assert float(got_a) == want_a
     got_b = np.asarray(got_b)
     assert (got_b[0], got_b[1]) == want_b[0] and (got_b[2], got_b[3]) == want_b[1]
+
+
+def test_two_vehicle_scene_multi_decode_and_tracking(rng):
+    """Two vehicles in one scene: top-K decode returns both (the reference
+    could only ever emit its largest cluster, predict.py:58-71) and the
+    tracker maintains two distinct tracks across frames."""
+    from tpufusion.decode.decode import decode_frame_multi
+    from tpufusion.serve.tracker import PoseTracker
+
+    centers = np.asarray([[10.0, 3.0, -0.7], [9.0, -4.0, -0.7]])
+    size = np.asarray([4.2, 1.6, 1.5])
+    pts = synthetic_cloud(rng, n=4096, with_vehicle_at=tuple(centers[0]))
+    extra = synthetic_cloud(rng, n=1, with_vehicle_at=tuple(centers[1]))
+    pts = np.concatenate([pts, extra[1:]], axis=0)  # add 2nd cluster only
+    img = range_view_project(jnp.asarray(pts), SPEC)
+
+    # ground-truth labels for both vehicles, merged
+    labs = [
+        np.asarray(
+            encoding.encode_label_batch(
+                jnp.asarray(c)[None],
+                jnp.asarray(size)[None],
+                jnp.zeros((1,)),
+                img[None],
+                SPEC,
+            )
+        )[0]
+        for c in centers
+    ]
+    fg = np.maximum(labs[0][..., 1], labs[1][..., 1])
+    reg = np.where(labs[1][..., 1:2] > 0.5, labs[1][..., 2:], labs[0][..., 2:])
+    merged = np.concatenate([(1.0 - fg)[..., None], fg[..., None], reg], -1)
+    assert labs[0][..., 1].sum() > 0 and labs[1][..., 1].sum() > 0
+
+    out = decode_frame_multi(
+        jnp.asarray(merged), img, SPEC, CFG, k=4
+    )
+    poses = np.asarray(out["poses"])
+    found = np.asarray(out["found"])
+    assert int(found.sum()) == 2, (found, poses[:, :3])
+    got = poses[found][:, :2]
+    # each detection matches a distinct ground-truth vehicle
+    d = np.linalg.norm(got[:, None, :] - centers[None, :, :2], axis=-1)
+    best = d.min(axis=1)
+    assert (best < 2.0).all(), d
+    assert set(d.argmin(axis=1)) == {0, 1}
+
+    # temporal tracking: both vehicles persist as separate tracks
+    frames, k = 6, 4
+    seq = np.zeros((frames, k, 7))
+    fnd = np.zeros((frames, k), bool)
+    for f in range(frames):
+        seq[f, : len(got)] = poses[found]
+        seq[f, : len(got), 0] += 0.3 * f  # forward motion
+        fnd[f, : len(got)] = True
+    tracker = PoseTracker(dt=0.1)
+    trails = tracker.run_multi(seq, fnd)
+    assert len(trails) == 2, trails.keys()
+    for trail in trails.values():
+        assert len(trail) >= frames - 1  # confirmed from frame 2 on

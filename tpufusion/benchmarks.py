@@ -319,34 +319,38 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
 
 
 def config5_waymo_scale() -> dict:
-    """64-beam high-res clouds (131072 pts) + temporal tracking with a
-    quick-trained detector (live detections exercise the decode's real
-    cost); reports single-chip throughput."""
+    """64-beam high-res clouds (131072 pts) + multi-obstacle (top-4)
+    decode + temporal tracking with the trained detector (live detections
+    exercise the decode's real cost); reports single-chip throughput of
+    the full multi-object graph."""
     from tpufusion.serve.tracker import PoseTracker
 
     graphdef, state = _quick_trained_state()
 
     from tpufusion.predict import make_e2e_step
 
-    fn = make_e2e_step(graphdef, SPEC, CFG.decode)
+    fn = make_e2e_step(graphdef, SPEC, CFG.decode, max_obstacles=4)
 
     sets = _point_sets(4, 16, 131072)
     dt = measure(fn, [(state, p) for p in sets], reps=2)
 
-    # temporal tracking over the decoded stream (host side)
+    # multi-object temporal tracking over the decoded stream (host side)
     p, fd = fn(state, sets[0])
     tracker = PoseTracker(dt=0.1)
-    tracked = tracker.run(np.asarray(p), np.asarray(fd))
+    trails = tracker.run_multi(np.asarray(p), np.asarray(fd))
 
     n_dev = len(jax.devices())
     return {
         "config": 5,
-        "metric": "Waymo-scale 128k-pt clouds + temporal tracking",
+        "metric": "Waymo-scale 128k-pt clouds + top-4 decode + tracking",
         "value": round(16 / dt, 1),
         "unit": "frames/s/chip",
         "devices": n_dev,
         "detections": int(np.asarray(fd).sum()),
-        "tracked_frames": int((tracked[:, :3] != 0).any(axis=1).sum()),
+        "tracks": len(trails),
+        "tracked_frames": len(
+            {f for trail in trails.values() for f, _ in trail}
+        ),
     }
 
 

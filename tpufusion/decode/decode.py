@@ -40,12 +40,9 @@ _SENTINEL = 1e8  # reference uses 10e7 for "no valid pixel"
 _BIG_I = jnp.iinfo(jnp.int32).max
 
 
-def find_obstacle(
-    prob_map: jax.Array,  # (H, W) foreground probability
-    cfg: DecodeConfig = DecodeConfig(),
-):
-    """Returns (centroid(2) int32 [x, y], bbox(4) int32 [l, t, r, b],
-    area float32, found bool)."""
+def _heat_components(prob_map: jax.Array, cfg: DecodeConfig):
+    """Shared stage: threshold -> heat stamp -> connected components.
+    Returns (mask, labels, min_x, max_x, min_y, max_y)."""
     h, w = prob_map.shape
     pos = prob_map >= cfg.min_prob
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -68,6 +65,19 @@ def find_obstacle(
     labels, min_x, max_x, min_y, max_y = connected_components_with_bbox(
         mask, cfg.max_cc_iters
     )  # per-pixel cluster root + cluster extents
+    return mask, labels, min_x, max_x, min_y, max_y
+
+
+def find_obstacle(
+    prob_map: jax.Array,  # (H, W) foreground probability
+    cfg: DecodeConfig = DecodeConfig(),
+):
+    """Returns (centroid(2) int32 [x, y], bbox(4) int32 [l, t, r, b],
+    area float32, found bool)."""
+    h, w = prob_map.shape
+    mask, labels, min_x, max_x, min_y, max_y = _heat_components(
+        prob_map, cfg
+    )
 
     area = jnp.where(mask, (max_x - min_x) * (max_y - min_y), -1)
     max_area = jnp.max(area)
@@ -99,6 +109,64 @@ def find_obstacle(
         jnp.where(found, centroid, zero2),
         jnp.where(found, bbox, zero4),
         jnp.where(found, max_area.astype(jnp.float32), 0.0),
+        found,
+    )
+
+
+def find_obstacles_topk(
+    prob_map: jax.Array,  # (H, W) foreground probability
+    cfg: DecodeConfig = DecodeConfig(),
+    k: int = 4,
+):
+    """Top-K clusters by bbox area — the multi-obstacle extension the
+    reference never had (its `find_obstacle` keeps only the largest
+    cluster, predict.py:58-71). Returns (centroids (K, 2) int32 [x, y],
+    bboxes (K, 4) int32 [l, t, r, b], areas (K,) float32, found (K,)),
+    ordered by descending area; ties keep scipy scan order (smaller root
+    label first, matching find_obstacle's tie-break)."""
+    h, w = prob_map.shape
+    mask, labels, min_x, max_x, min_y, max_y = _heat_components(
+        prob_map, cfg
+    )
+    flat_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    # exactly one representative pixel per cluster: its root
+    is_root = mask & (labels == flat_ids)
+    area = (max_x - min_x) * (max_y - min_y)
+    score = jnp.where(is_root, area, -1)
+    # top_k is stable: area ties resolve to the smaller flat index = the
+    # smaller root label
+    areas, idx = jax.lax.top_k(score.ravel(), k)
+    wy, wx = idx // w, idx % w
+
+    found = areas > cfg.min_bbox_area
+    bboxes = jnp.stack(
+        [
+            min_x[wy, wx] + 2,
+            min_y[wy, wx] + 2,
+            max_x[wy, wx] - 2,
+            max_y[wy, wx] - 2,
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    centroids = jnp.stack(
+        [
+            ((bboxes[:, 0] + bboxes[:, 2]).astype(jnp.float32) / 2.0).astype(
+                jnp.int32
+            ),
+            ((bboxes[:, 1] + bboxes[:, 3]).astype(jnp.float32) / 2.0).astype(
+                jnp.int32
+            ),
+        ],
+        axis=-1,
+    )
+    fm = found[:, None]
+    return (
+        jnp.where(fm, centroids, 0),
+        jnp.where(fm, bboxes, 0),
+        jnp.where(found, areas.astype(jnp.float32), 0.0),
         found,
     )
 
@@ -351,8 +419,51 @@ def decode_frame(
     }
 
 
+def decode_frame_multi(
+    y_pred: jax.Array,  # (H, W, 2+24)
+    image: jax.Array,  # (H, W, >=2)
+    spec: RangeViewSpec = RangeViewSpec(),
+    cfg: DecodeConfig = DecodeConfig(),
+    k: int = 4,
+) -> dict[str, jax.Array]:
+    """Multi-obstacle decode: top-K clusters each through back-projection
+    + corner voting. Returns poses (K, 7) ordered by cluster area and
+    found (K,) — the shape `serve.tracker.PoseTracker.step` consumes."""
+    prob = y_pred[..., 1]
+    centroids, bboxes, areas, founds = find_obstacles_topk(prob, cfg, k)
+
+    def one(centroid, bbox, found):
+        stage1 = found & ~((centroid[0] == 0) & (centroid[1] == 0))
+        xyz, _, bp_ok = back_project_2d_to_3d(
+            centroid, bbox, image[..., 0], image[..., 1], spec, cfg
+        )
+        stage2 = stage1 & bp_ok & ~((xyz[0] == 0.0) & (xyz[1] == 0.0))
+        pose, _, cv_ok, overflow = corner_vote(
+            y_pred, image, bbox, xyz, spec, cfg
+        )
+        ok = stage2 & cv_ok
+        return jnp.where(ok, pose, 0.0), ok, stage2 & overflow
+
+    poses, oks, overflow = jax.vmap(one)(centroids, bboxes, founds)
+    return {
+        "poses": poses,
+        "found": oks,
+        "areas": areas,
+        "vote_overflow": overflow,
+    }
+
+
 def decode_batch(y_pred, images, spec=RangeViewSpec(), cfg=DecodeConfig()):
     """(B, H, W, 26), (B, H, W, C) -> dict of batched decode products."""
     return jax.vmap(lambda p, im: decode_frame(p, im, spec, cfg))(
+        y_pred, images
+    )
+
+
+def decode_batch_multi(
+    y_pred, images, spec=RangeViewSpec(), cfg=DecodeConfig(), k: int = 4
+):
+    """(B, H, W, 26), (B, H, W, C) -> dict with poses (B, K, 7) etc."""
+    return jax.vmap(lambda p, im: decode_frame_multi(p, im, spec, cfg, k))(
         y_pred, images
     )

@@ -26,17 +26,28 @@ from tpufusion.utils.logging import get_logger
 log = get_logger("predict")
 
 
-def make_e2e_step(graphdef, spec, decode_cfg, method: str = "exact"):
+def make_e2e_step(graphdef, spec, decode_cfg, method: str = "exact",
+                  max_obstacles: int = 1):
     """The one fused inference graph everyone shares: raw point batches ->
     projection -> FCN -> pose decode. Used by the batch predictor, the
     replay harness, the online pipeline, and the benchmarks, so the decode
-    pipeline has a single definition."""
+    pipeline has a single definition.
+
+    max_obstacles=1 keeps the reference's largest-cluster semantics
+    (predict.py:58-71) and returns pose (B, 7); >1 decodes the top-K
+    clusters and returns poses (B, K, 7) for the multi-object tracker."""
+    from tpufusion.decode.decode import decode_batch_multi
 
     @jax.jit
     def step(state, points, valid=None):
         mdl = nnx.merge(graphdef, state)
         images = range_view_project_batch(points, spec, valid, method)
         preds = mdl(images, train=False)
+        if max_obstacles > 1:
+            out = decode_batch_multi(
+                preds, images, spec, decode_cfg, max_obstacles
+            )
+            return out["poses"], out["found"]
         out = decode_batch(preds, images, spec, decode_cfg)
         return out["pose"], out["found"]
 

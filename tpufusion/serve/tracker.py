@@ -96,6 +96,20 @@ class PoseTracker:
         ]
         return [t for t in self.tracks if t.confirmed]
 
+    def run_multi(
+        self, poses: np.ndarray, founds: np.ndarray
+    ) -> dict[int, list[tuple[int, np.ndarray]]]:
+        """Online tracking over a multi-detection sequence: poses (F, K, 7),
+        founds (F, K) -> {track_id: [(frame, pose), ...]} for every track
+        that was ever confirmed."""
+        trails: dict[int, list[tuple[int, np.ndarray]]] = {}
+        for f in range(len(poses)):
+            for t in self.step(poses[f], np.asarray(founds[f])):
+                trails.setdefault(t.track_id, []).append(
+                    (f, self._predict(t))
+                )
+        return trails
+
     def run(self, poses: np.ndarray, founds: np.ndarray) -> np.ndarray:
         """Offline smoothing over a sequence: (F, 7), (F,) -> (F, 7) poses
         of the dominant track (coasted through misses; zeros before the

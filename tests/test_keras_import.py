@@ -60,13 +60,37 @@ def test_load_reference_weights(rng):
     from tpufusion.tools.import_keras import load_reference_fcn
 
     model = load_reference_fcn(REF_H5)
-    assert model.cfg.sample_wise_bn and not model.cfg.use_regression
     x = jnp.asarray(rng.random((1, 32, 1801, 3)).astype(np.float32) * 50)
     y = model(x, train=False)
     assert y.shape == (1, 32, 1801, 2)
     probs = np.asarray(y)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
-    # the trained detector confidently rejects noise input — near-zero
-    # foreground everywhere (a random-init net would hover around 0.5),
-    # which is itself evidence the real weights are in place
-    assert probs[..., 1].max() < 0.01
+    # trained weights produce a selective detector: overwhelmingly
+    # background on noise input, with the Keras epsilon clip applied.
+    # (activation equivalence itself is pinned by the golden test below)
+    assert probs[..., 1].mean() < 0.1
+    assert probs.min() >= 1e-7
+
+
+@pytest.mark.skipif(not os.path.exists(REF_H5), reason="reference not mounted")
+def test_golden_activations_vs_numpy_forward(rng):
+    """The imported flax model reproduces the shipped network's actual
+    outputs: compare against an independent pure-numpy forward of the h5
+    graph (tests/oracle/keras_numpy.py) on random inputs — upgrades the
+    import from weight-equivalence to activation-equivalence."""
+    from tests.oracle.keras_numpy import shipped_model_forward
+    from tpufusion.tools.import_keras import load_reference_fcn
+
+    model = load_reference_fcn(REF_H5)
+    # range-view-like inputs: distances / heights / intensities
+    x = np.stack(
+        [
+            rng.uniform(0, 90, (2, 32, 1801)),
+            rng.uniform(-2, 2, (2, 32, 1801)),
+            rng.uniform(0, 100, (2, 32, 1801)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    want = shipped_model_forward(REF_H5, x)
+    got = np.asarray(model(jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

@@ -162,3 +162,20 @@ def test_connected_components_matches_scipy(rng):
     # distinct scipy components map to distinct roots
     roots = [got[want == k][0] for k in range(1, n + 1)]
     assert len(set(roots)) == n
+
+
+def test_sort_and_scatter_winners_identical(rng):
+    """The sort-based exact path (default) and the two-pass scatter-min
+    produce bit-identical images, including collision tie-breaks."""
+    from tests.conftest import synthetic_cloud
+    from tpufusion.geometry.range_view import range_view_project
+
+    spec = RangeViewSpec()
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        pts = synthetic_cloud(r, n=8192, with_vehicle_at=(10.0, 2.0, -0.7))
+        # force collisions: duplicate some points with equal L2
+        pts = np.concatenate([pts, pts[:512]], axis=0)
+        a = np.asarray(range_view_project(jnp.asarray(pts), spec, None, "exact"))
+        b = np.asarray(range_view_project(jnp.asarray(pts), spec, None, "scatter"))
+        np.testing.assert_array_equal(a, b)

@@ -179,23 +179,20 @@ def back_project_2d_to_3d(
     spec: RangeViewSpec = RangeViewSpec(),
     cfg: DecodeConfig = DecodeConfig(),
 ):
-    """Returns (xyz(3,), centroid'(2,) int32, ok bool).
-
-    The nearest-valid-pixel fallback searches a static vote_window-column
-    slice containing the bbox (the reference searches exactly the bbox,
-    predict.py:243-275; any bbox narrower than the window is covered).
-    """
+    """Returns (xyz(3,), centroid'(2,) int32, ok bool)."""
     h, w = dist_img.shape
-    win = min(cfg.vote_window, w)
     valid = (dist_img > 0) & (height_img > spec.min_height)
     cx, cy = centroid[0], centroid[1]
     centroid_ok = valid[cy, cx]
 
-    # nearest-valid fallback inside the (inclusive) bbox window
-    start = jnp.clip(bbox[0], 0, w - win)
-    valid_w = jax.lax.dynamic_slice(valid, (0, start), (h, win))
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, win), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, win), 1) + start
+    # nearest-valid fallback inside the (inclusive) bbox, masked over the
+    # full image: raster-order argmin among in-bbox pixels matches the
+    # reference's subgrid argmin (predict.py:243-275). NB a vmapped
+    # data-dependent dynamic_slice here lowers to a pathologically slow
+    # XLA gather at batch >= 128 (606 ms/chunk, round-1 NOTES.md #2) —
+    # full-image masking costs a little more FLOPs and is ~6x faster.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     in_window = (
         (rows >= bbox[1])
         & (rows <= bbox[3])
@@ -206,10 +203,10 @@ def back_project_2d_to_3d(
         ((cols - cx).astype(jnp.float32)) ** 2
         + ((rows - cy).astype(jnp.float32)) ** 2
     )
-    d2c = jnp.where(valid_w & in_window, d2c, _SENTINEL)
+    d2c = jnp.where(valid & in_window, d2c, _SENTINEL)
     flat_arg = jnp.argmin(d2c.ravel())  # first minimum in raster order
-    fb_y = (flat_arg // win).astype(jnp.int32)
-    fb_x = (flat_arg % win).astype(jnp.int32) + start
+    fb_y = (flat_arg // w).astype(jnp.int32)
+    fb_x = (flat_arg % w).astype(jnp.int32)
     fb_ok = d2c.ravel()[flat_arg] < _SENTINEL
 
     use_fallback = (~centroid_ok) & (bbox[0] != 0) & (bbox[2] != 0)
@@ -236,60 +233,62 @@ def corner_vote(
 ):
     """Returns (pose(7,) [xyz, yaw, l, w, h], box(8,3), ok bool).
 
-    Works in a static vote_window-column slice around the bbox: the
-    reference scans bbox +- margin_x columns (predict.py:103), and the
-    is_far filter kills anything beyond ~far_delta of the centroid anyway,
-    so a 512-column window loses candidates only for bboxes wider than
-    vote_window - 2*margin_x (documented divergence; such frames are
-    already degenerate).
+    Candidates come from the FULL image masked to bbox +- margins —
+    exactly the reference's scan span (predict.py:103). (An earlier
+    revision worked in a 512-column dynamic_slice window for static
+    shapes; a vmapped data-dependent dynamic_slice lowers to an XLA
+    gather that collapses at batch >= 128 — 433 ms of the 606 ms/chunk
+    in round-1 NOTES.md #2 — and the window also truncated candidates
+    for very wide bboxes. Full-image masking removes both.)
     """
     h, w = y_pred.shape[:2]
-    win = min(cfg.vote_window, w)
 
     pos = y_pred[..., 1] >= cfg.min_prob
-    col_has_pos = jnp.any(pos, axis=0)  # (W,) over the FULL image
+    col_has_pos = jnp.any(pos, axis=0)  # (W,)
     row_has_pos = jnp.any(pos, axis=1)  # (H,)
 
-    start = jnp.clip(bbox[0] - cfg.margin_x, 0, w - win)
-    ypred_w = jax.lax.dynamic_slice(
-        y_pred, (0, start, 0), (h, win, y_pred.shape[2])
-    )
-    image_w = jax.lax.dynamic_slice(
-        image, (0, start, 0), (h, win, image.shape[2])
-    )
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (h, win), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (h, win), 1) + start
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     in_window = (
         (cols >= bbox[0] - cfg.margin_x)
         & (cols < bbox[2] + cfg.margin_x)
         & (rows >= bbox[1] - cfg.margin_y)
         & (rows < bbox[3] + cfg.margin_y)
     )
-    col_pos_w = jax.lax.dynamic_slice(col_has_pos, (start,), (win,))
-    cand = in_window & col_pos_w[None, :] & row_has_pos[:, None]
+    cand = in_window & col_has_pos[None, :] & row_has_pos[:, None]
 
     # fixed-budget candidate selection in the reference's column-major scan
     # order (predict.py loops x outer, y inner) BEFORE decoding corners —
     # the expensive per-pixel inversion then runs on K pixels, not the
-    # whole window. top_k over "earliest scan position wins" scores is
-    # ~12x faster than a stable argsort here.
-    k = min(cfg.max_candidates, h * win)
-    cand_cm = cand.T.ravel()  # column-major
-    n_cm = cand_cm.shape[0]
-    scan_pos = jax.lax.broadcasted_iota(jnp.int32, (n_cm,), 0)
-    _, order = jax.lax.top_k(jnp.where(cand_cm, n_cm - scan_pos, 0), k)
-    sel_valid = cand_cm[order]  # (K,)
+    # whole image. Each candidate's scan rank IS its output slot, so one
+    # collision-free scatter selects the first K in scan order. The rank
+    # is computed hierarchically — a height-H cumsum down each column
+    # plus a width-W exclusive prefix of column totals — which is ~10x
+    # cheaper than one monolithic H*W cumsum (or a top_k full sort).
+    k = min(cfg.max_candidates, h * w)
+    within = jnp.cumsum(cand.astype(jnp.int32), axis=0)  # (H, W) down cols
+    col_tot = within[-1, :]
+    col_pre = jnp.cumsum(col_tot) - col_tot  # exclusive column prefix
+    rank = within + col_pre[None, :]  # inclusive column-major scan rank
+    total = col_pre[-1] + col_tot[-1]
+    scan_pos = cols * h + rows  # column-major flat position
+    slot = jnp.where(cand & (rank <= k), rank - 1, k)
+    order = (
+        jnp.zeros((k + 1,), jnp.int32)
+        .at[slot.ravel()]
+        .set(scan_pos.ravel(), mode="drop")
+    )[:k]
+    sel_valid = jax.lax.broadcasted_iota(jnp.int32, (k,), 0) < total
 
     # gather the selected pixels' data and invert the corner encoding
     # only for them: c = Rz(theta) Ry(phi) c' + p  (predict.py:118-131)
-    sel_col_w = order // h
+    sel_col = order // h
     sel_row = order % h
-    gather_ids = sel_row * win + sel_col_w
-    reg = ypred_w[..., 2:].reshape(-1, 24)[gather_ids]  # (K, 24)
-    dist_h = image_w[..., :2].reshape(-1, 2)[gather_ids]  # (K, 2)
+    gather_ids = sel_row * w + sel_col
+    reg = y_pred[..., 2:].reshape(-1, 24)[gather_ids]  # (K, 24)
+    dist_h = image[..., :2].reshape(-1, 2)[gather_ids]  # (K, 2)
     theta = (
-        (sel_col_w + start).astype(jnp.float32) + spec.x_min
+        sel_col.astype(jnp.float32) + spec.x_min
     ) * spec.res_h_rad
     phi = (sel_row.astype(jnp.float32) + spec.y_min) * spec.res_v_rad
     rot = jnp.einsum(
@@ -375,7 +374,7 @@ def corner_vote(
     box = jnp.where(ok, box, 0.0)
     # signal budget overflow: the reference scans an unbounded candidate
     # list; we truncate at k in scan order
-    overflow = jnp.sum(cand_cm) > k
+    overflow = total > k
     return pose, box, ok, overflow
 
 

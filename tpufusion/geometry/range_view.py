@@ -30,6 +30,7 @@ from tpufusion.config import RangeViewSpec
 from tpufusion.ops.scatter import (
     nearest_wins_scatter,
     nearest_wins_scatter_packed,
+    nearest_wins_sort,
 )
 
 
@@ -65,7 +66,9 @@ def range_view_project(
 
     `valid` masks padding; non-finite points are dropped regardless.
     method="exact" reproduces the reference's nearest-wins collision rule
-    bit-for-bit; "packed" is ~1.5x faster with a quantized winner key (see
+    bit-for-bit via the sort formulation (nearest_wins_sort); "scatter"
+    is the equivalent two-pass scatter-min (slower, kept for testing);
+    "packed" quantizes the winner key for one fewer pass (see
     nearest_wins_scatter_packed).
     """
     pts = points.astype(jnp.float32)
@@ -77,9 +80,11 @@ def range_view_project(
     pixel_ids = row * spec.width + col
     num_pixels = spec.height * spec.width
 
-    scatter_fn = (
-        nearest_wins_scatter_packed if method == "packed" else nearest_wins_scatter
-    )
+    scatter_fn = {
+        "exact": nearest_wins_sort,
+        "scatter": nearest_wins_scatter,
+        "packed": nearest_wins_scatter_packed,
+    }[method]
     winner, occupied = scatter_fn(pixel_ids, l2, finite, num_pixels)
 
     x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]

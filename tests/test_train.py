@@ -214,6 +214,45 @@ def test_grad_accumulation(tmp_path):
     assert np.abs(after - before).max() > 0  # update applied on step 2
 
 
+def test_cosine_lr_schedule(tmp_path):
+    """lr_schedule='cosine' decays the applied update toward
+    lr_final_fraction * lr by lr_decay_steps (the reference's lidar
+    trainer is constant-LR; this is the device-side schedule option)."""
+    from tpufusion.config import PipelineConfig
+    from tpufusion.train.trainer import Trainer
+
+    cfg = PipelineConfig(
+        range_view=SMALL_SPEC,
+        train=TrainConfig(
+            batch_size=4, augment=False, lr_schedule="cosine",
+            lr_decay_steps=6, lr_final_fraction=1e-3,
+        ),
+    )
+    trainer = Trainer(cfg, outdir=str(tmp_path / "run"))
+    data = synthesize_dataset(seed=1, num_frames=4, n_points=2048)
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    images = np.asarray(
+        range_view_project_batch(jnp.asarray(data["points"]), SMALL_SPEC)
+    )
+    batch = {
+        "images": jnp.asarray(images),
+        "center": jnp.asarray(data["center"]),
+        "size": jnp.asarray(data["size"]),
+        "yaw": jnp.asarray(data["yaw"]),
+    }
+    k = jax.random.PRNGKey(0)
+    deltas = []
+    for _ in range(7):
+        before = np.asarray(trainer.model.conv1.kernel[...]).copy()
+        trainer.train_step(trainer.model, trainer.optimizer, batch, k)
+        after = np.asarray(trainer.model.conv1.kernel[...])
+        deltas.append(np.abs(after - before).max())
+    # adam's per-step magnitude ~ lr: the final (post-horizon) update is
+    # ~1000x smaller than the first
+    assert deltas[-1] < deltas[0] * 0.01, deltas
+
+
 def test_divergence_recovery(tmp_path):
     """A non-finite loss restores the last checkpoint instead of training
     on poisoned weights."""

@@ -109,6 +109,8 @@ def _cmd_train(args):
             batch_size=args.batch_size,
             epochs=args.epochs,
             learning_rate=args.lr,
+            lr_schedule=args.lr_schedule,
+            lr_decay_steps=args.lr_decay_steps,
         ),
     )
     in_channels = 3
@@ -249,6 +251,11 @@ def main(argv=None):
     t.add_argument("--batch_size", type=int, default=64)
     t.add_argument("--epochs", type=int, default=100)
     t.add_argument("--lr", type=float, default=1e-3)
+    t.add_argument("--lr_schedule", choices=("constant", "cosine"),
+                   default="constant",
+                   help="constant matches the reference (model.py:186)")
+    t.add_argument("--lr_decay_steps", type=int, default=0,
+                   help="cosine horizon in optimizer steps (0 = heuristic)")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--source", choices=("lidar", "camera"), default="lidar",
                    help="training data source (train.py:109-122)")

@@ -149,6 +149,14 @@ class TrainConfig:
     # async (no per-step device round-trip) and divergence is still
     # detected within N steps of the event
     divergence_check_every: int = 25
+    # learning-rate schedule: "constant" (reference lidar trainer,
+    # `modules/lidar/train/model.py:186`) or "cosine" (decay to
+    # lr_final_fraction * learning_rate over lr_decay_steps optimizer
+    # steps — device-side, no host feedback loop; the plateau-feedback
+    # alternative lives in the fusion trainer)
+    lr_schedule: str = "constant"
+    lr_decay_steps: int = 0  # 0 with "cosine" = epochs * 100 heuristic
+    lr_final_fraction: float = 0.01
 
 
 @dataclass(frozen=True)
@@ -176,6 +184,11 @@ class DecodeConfig:
     vote_window: int = 512
     # upper bound on connected-component label propagation sweeps
     max_cc_iters: int = 128
+    # CC propagation engine: "auto" resolves to "pallas" on TPU (VMEM-
+    # resident per-frame kernel with per-frame early exit, ops/pallas_cc.py;
+    # +44 f/s e2e under detection load on v5e) and "xla" (reduce-window
+    # sweeps) elsewhere; both are selectable explicitly
+    cc_impl: str = "auto"
 
 
 @dataclass(frozen=True)

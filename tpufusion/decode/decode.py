@@ -63,7 +63,7 @@ def _heat_components(prob_map: jax.Array, cfg: DecodeConfig):
 
     mask = heat > 0
     labels, min_x, max_x, min_y, max_y = connected_components_with_bbox(
-        mask, cfg.max_cc_iters
+        mask, cfg.max_cc_iters, cfg.cc_impl
     )  # per-pixel cluster root + cluster extents
     return mask, labels, min_x, max_x, min_y, max_y
 

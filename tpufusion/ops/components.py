@@ -108,7 +108,25 @@ def _propagate(st0: jax.Array, mask: jax.Array, max_iters: int) -> jax.Array:
     return st
 
 
-def connected_components(mask: jax.Array, max_iters: int = 128) -> jax.Array:
+def _run_propagate(
+    st0: jax.Array, mask: jax.Array, max_iters: int, impl: str
+) -> jax.Array:
+    if impl == "auto":
+        # trace-time heuristic: the Mosaic kernel on real TPU, the sweep
+        # formulation on CPU (where the kernel would run interpreted)
+        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from tpufusion.ops.pallas_cc import propagate_pallas
+
+        return propagate_pallas(st0, max_iters)
+    if impl != "xla":
+        raise ValueError(f"unknown cc impl {impl!r}")
+    return _propagate(st0, mask, max_iters)
+
+
+def connected_components(
+    mask: jax.Array, max_iters: int = 128, impl: str = "xla"
+) -> jax.Array:
     """Label 4-connected components of a 2D boolean mask.
 
     Returns int32 labels with shape == mask.shape: background pixels get -1;
@@ -117,11 +135,13 @@ def connected_components(mask: jax.Array, max_iters: int = 128) -> jax.Array:
     h, w = mask.shape
     flat_ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
     st0 = jnp.where(mask, -flat_ids, -_BIG)[None]
-    st = _propagate(st0, mask, max_iters)
+    st = _run_propagate(st0, mask, max_iters, impl)
     return jnp.where(mask, -st[0], -1)
 
 
-def connected_components_with_bbox(mask: jax.Array, max_iters: int = 128):
+def connected_components_with_bbox(
+    mask: jax.Array, max_iters: int = 128, impl: str = "xla"
+):
     """Labels plus per-pixel cluster bbox (min_x, max_x, min_y, max_y).
 
     Background pixels: label -1 and undefined extents.
@@ -138,6 +158,6 @@ def connected_components_with_bbox(mask: jax.Array, max_iters: int = 128):
         [init(-flat_ids), init(-cols), init(cols), init(-rows), init(rows)],
         axis=0,
     )
-    st = _propagate(st0, mask, max_iters)
+    st = _run_propagate(st0, mask, max_iters, impl)
     labels = jnp.where(mask, -st[0], -1)
     return labels, -st[1], st[2], -st[3], st[4]

@@ -1,0 +1,125 @@
+"""Pallas TPU kernel for the connected-component fixed-point propagation.
+
+Drop-in accelerator for `tpufusion.ops.components._propagate` (the hot loop
+of the decode's `scipy.ndimage.label` replacement — reference decode at
+`modules/lidar/train/predict.py:53`). The XLA formulation round-trips the
+(B, 5, 32, 1801) label/extent state plus 12 gate masks through HBM every
+while-loop sweep, and under `jax.vmap` the loop runs until the SLOWEST
+frame of the batch converges. This kernel instead:
+
+  * grids over the batch — one program instance per frame;
+  * keeps the frame's whole state (5 x 32 x 1801 int32 ~ 1.2 MB) plus the
+    precomputed run-gates resident in VMEM across all sweeps;
+  * exits the `lax.while_loop` per frame as soon as that frame's labels
+    stop changing, so empty frames cost one sweep instead of the batch
+    maximum.
+
+Shifts along the azimuth (lane) and ring (sublane) axes are circular
+`pltpu.roll`s with the wrapped region masked back to the -BIG sentinel —
+identical semantics to the padded shifts in `components._shift`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpufusion.ops.components import _BIG, _H_DISTS, _V_DISTS
+
+_NEG_BIG = -_BIG
+
+
+def _kshift(x: jax.Array, axis: int, d: int, fill) -> jax.Array:
+    """out[..., i, ...] = x[..., i-d, ...] where i-d is in range, else fill.
+
+    Same contract as components._shift but built from a circular roll plus
+    an iota mask (Mosaic has no pad-with-constant on values)."""
+    n = x.shape[axis]
+    rolled = pltpu.roll(x, d % n, axis)  # pltpu.roll wants shift >= 0
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    ok = (idx >= d) if d > 0 else (idx < n + d)
+    return jnp.where(ok, rolled, fill)
+
+
+def _gates(maski: jax.Array, axis: int, dists) -> dict:
+    """gate[d] = 1 where the |d|-1 cells between a pixel and its pull
+    source are all foreground (components._run_gates, on int32 masks)."""
+    out = {}
+    for d in dists:
+        if abs(d) == 1:
+            out[d] = None
+            continue
+        step = 1 if d > 0 else -1
+        g = None
+        for j in range(1, abs(d)):
+            m = _kshift(maski, axis, step * j, 0)
+            g = m if g is None else (g & m)
+        out[d] = g
+    return out
+
+
+def _propagate_kernel(st0_ref, out_ref, *, max_iters: int):
+    st0 = st0_ref[:]  # (C, H, W) int32
+    maski = (st0[0] != _NEG_BIG).astype(jnp.int32)  # (H, W)
+    h_gates = _gates(maski, 1, _H_DISTS)
+    v_gates = _gates(maski, 0, _V_DISTS)
+    bg = maski[None] == 0  # (1, H, W) broadcast over channels
+
+    def sweep(st):
+        out = st
+        for axis, dists, gates in (
+            (2, _H_DISTS, h_gates),
+            (1, _V_DISTS, v_gates),
+        ):
+            for d in dists:
+                s = _kshift(st, axis, d, _NEG_BIG)
+                g = gates[d]
+                if g is not None:
+                    s = jnp.where(g[None] != 0, s, _NEG_BIG)
+                out = jnp.maximum(out, s)
+        return jnp.where(bg, _NEG_BIG, out)
+
+    def cond(state):
+        i, _, changed = state
+        return changed & (i < max_iters)
+
+    def body(state):
+        i, st, _ = state
+        nxt = sweep(st)
+        return i + 1, nxt, jnp.any(nxt != st)
+
+    _, st, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), st0, jnp.bool_(True))
+    )
+    out_ref[:] = st
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "interpret"))
+def propagate_pallas(
+    st0: jax.Array, max_iters: int = 128, interpret: bool | None = None
+) -> jax.Array:
+    """(C, H, W) int32 channel-stacked propagation state -> fixed point.
+
+    Exact same contract as components._propagate (the mask argument is
+    recovered from channel 0's sentinel pattern). `interpret` defaults to
+    True off-TPU so the CPU test mesh can run the kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        functools.partial(_propagate_kernel, max_iters=max_iters),
+        out_shape=jax.ShapeDtypeStruct(st0.shape, jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        # the 5-channel state + 12 run-gate masks + sweep temps peak at
+        # ~18 MB — above the 16 MB default scoped-vmem cap but well within
+        # a v5e core's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(st0)

@@ -81,7 +81,17 @@ class Trainer:
         self.model = model or FCN(
             cfg.model, in_channels, rngs=nnx.Rngs(cfg.train.seed)
         )
-        tx = optax.adam(cfg.train.learning_rate)
+        tcfg = cfg.train
+        if tcfg.lr_schedule == "cosine":
+            decay_steps = tcfg.lr_decay_steps or tcfg.epochs * 100
+            lr = optax.cosine_decay_schedule(
+                tcfg.learning_rate, decay_steps, tcfg.lr_final_fraction
+            )
+        elif tcfg.lr_schedule == "constant":
+            lr = tcfg.learning_rate
+        else:
+            raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+        tx = optax.adam(lr)
         if cfg.train.grad_accum_steps > 1:
             tx = optax.MultiSteps(tx, cfg.train.grad_accum_steps)
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)

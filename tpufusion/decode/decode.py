@@ -260,30 +260,52 @@ def corner_vote(
     # fixed-budget candidate selection in the reference's column-major scan
     # order (predict.py loops x outer, y inner) BEFORE decoding corners —
     # the expensive per-pixel inversion then runs on K pixels, not the
-    # whole image. Each candidate's scan rank IS its output slot, so one
-    # collision-free scatter selects the first K in scan order. The rank
-    # is computed hierarchically — a height-H cumsum down each column
-    # plus a width-W exclusive prefix of column totals — which is ~10x
-    # cheaper than one monolithic H*W cumsum (or a top_k full sort).
+    # whole image. The rank is computed hierarchically — a height-H cumsum
+    # down each column plus a width-W exclusive prefix of column totals.
+    # The rank->pixel inversion is scatter-free (an H*W-update scatter
+    # into the slot array costs ~17 ms/64-batch on v5e — XLA:TPU
+    # processes every update serially): instead, each slot finds its
+    # column by counting ended column ranges (VPU compare-sum), pulls
+    # that column's cumulative counts through a one-hot MXU matmul
+    # (exact: one-hot selection in "highest" splits operands losslessly),
+    # and locates its row as the first place the cumulative hits the
+    # slot's within-column rank.
     k = min(cfg.max_candidates, h * w)
     within = jnp.cumsum(cand.astype(jnp.int32), axis=0)  # (H, W) down cols
     col_tot = within[-1, :]
     col_pre = jnp.cumsum(col_tot) - col_tot  # exclusive column prefix
-    rank = within + col_pre[None, :]  # inclusive column-major scan rank
     total = col_pre[-1] + col_tot[-1]
-    scan_pos = cols * h + rows  # column-major flat position
-    slot = jnp.where(cand & (rank <= k), rank - 1, k)
-    order = (
-        jnp.zeros((k + 1,), jnp.int32)
-        .at[slot.ravel()]
-        .set(scan_pos.ravel(), mode="drop")
-    )[:k]
-    sel_valid = jax.lax.broadcasted_iota(jnp.int32, (k,), 0) < total
+    col_end = col_pre + col_tot  # (W,)
+    slots = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+    sel_valid = slots < total
+
+    # column of slot s = #columns whose candidate range ends at or before s
+    sel_col = jnp.sum(
+        (col_end[None, :] <= slots[:, None]).astype(jnp.int32), axis=1
+    )
+    sel_col = jnp.minimum(sel_col, w - 1)
+    onehot = (
+        sel_col[None, :] == jax.lax.broadcasted_iota(jnp.int32, (w, k), 0)
+    ).astype(jnp.float32)  # (W, K)
+    # round(): the values are integers < 2**16, but the TPU's multi-pass
+    # f32 matmul may return them with sub-ulp error that would break an
+    # exact equality compare — rounding restores integer exactness
+    col_vals = jnp.round(
+        jnp.matmul(within.astype(jnp.float32), onehot, precision="highest")
+    )  # (H, K): each slot's column of cumulative counts
+    col_pre_sel = jnp.round(
+        jnp.matmul(
+            col_pre.astype(jnp.float32)[None, :], onehot, precision="highest"
+        )[0]
+    )  # (K,)
+    r_in_col = (slots + 1).astype(jnp.float32) - col_pre_sel  # 1-based
+    # cumulative count jumps to r_in_col exactly at the candidate row
+    sel_row = jnp.argmax(col_vals >= r_in_col[None, :], axis=0).astype(
+        jnp.int32
+    )
 
     # gather the selected pixels' data and invert the corner encoding
     # only for them: c = Rz(theta) Ry(phi) c' + p  (predict.py:118-131)
-    sel_col = order // h
-    sel_row = order % h
     gather_ids = sel_row * w + sel_col
     reg = y_pred[..., 2:].reshape(-1, 24)[gather_ids]  # (K, 24)
     dist_h = image[..., :2].reshape(-1, 2)[gather_ids]  # (K, 2)
@@ -320,6 +342,10 @@ def corner_vote(
     # pairwise neighbor count within max_bbox_dist (Frobenius over 24 dims).
     # Center on the 3D centroid first: pairwise distances are translation
     # invariant and the small magnitudes keep the f32 Gram trick accurate.
+    # NB cross-platform: "high" (bf16_3x on TPU) can flip pairs sitting
+    # exactly at the max_bbox_dist threshold vs a CPU f32 matmul, which
+    # perturbs the winner set and the averaged box in the 3rd decimal
+    # (measured); the CPU path pins the reference semantics in tests.
     sel_c = sel - jnp.tile(centroid_3d, 8)[None, :]
     sq = jnp.sum(sel_c * sel_c, axis=1)
     # "high" (bf16_3x) keeps ~1e-6 relative error on these centered,

@@ -74,6 +74,48 @@ def test_sharded_train_step_runs_and_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_spatial_partition_train_step_matches_single_device():
+    """dp x sp: 4-way data x 2-way spatial width partitioning. GSPMD
+    inserts the conv halo exchanges; updates must match single-device."""
+    mesh = make_mesh(MeshConfig(n_devices=8, n_spatial=2))
+    assert mesh.axis_names == ("data", "spatial")
+    batch_np = _batch()
+    cfg = TrainConfig(batch_size=16, augment=False)
+    key = jax.random.PRNGKey(2)
+
+    m1, o1 = _setup()
+    step1 = make_train_step(SPEC, LossConfig(), cfg)
+    loss1, _ = step1(m1, o1, jax.device_put(batch_np), key)
+
+    m2, o2 = _setup()
+    for mod in (m2, o2):
+        nnx.update(mod, replicate(nnx.state(mod), mesh))
+    step2 = make_train_step(SPEC, LossConfig(), cfg, mesh=mesh)
+    sh = batch_sharding(mesh)
+    batch_sharded = {k: jax.device_put(v, sh) for k, v in batch_np.items()}
+    with mesh:
+        loss2, _ = step2(m2, o2, batch_sharded, key)
+
+    assert np.isfinite(float(loss2))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    p1 = jax.tree.leaves(nnx.state(m1, nnx.Param))
+    p2 = jax.tree.leaves(nnx.state(m2, nnx.Param))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_image_sharding_layout():
+    from tpufusion.parallel.mesh import image_sharding
+
+    mesh = make_mesh(MeshConfig(n_devices=8, n_spatial=2))
+    s4 = image_sharding(mesh, 4)
+    assert s4.spec == P("data", None, "spatial", None)
+    s3 = image_sharding(mesh, 3)
+    assert s3.spec == P("data", None, "spatial")
+    mesh1d = make_mesh(MeshConfig(n_devices=8))
+    assert image_sharding(mesh1d, 4).spec == P("data", None, None, None)
+
+
 def test_graft_entry_dryrun():
     import importlib.util, sys, pathlib
 

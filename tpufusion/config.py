@@ -205,10 +205,17 @@ class CameraConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh layout for multi-chip execution."""
+    """Device-mesh layout for multi-chip execution.
+
+    n_spatial > 1 adds a second mesh axis that partitions the range-view
+    image width across chips (GSPMD spatial partitioning of the convs);
+    the data axis then gets n_devices / n_spatial chips.
+    """
 
     data_axis: str = "data"
+    spatial_axis: str = "spatial"
     n_devices: int = 0  # 0 = use all available
+    n_spatial: int = 1  # 1 = pure data parallelism
 
 
 @dataclass(frozen=True)

@@ -34,8 +34,15 @@ def make_train_step(
     loss_cfg: LossConfig,
     train_cfg: TrainConfig,
     use_regression: bool = True,
+    mesh=None,
 ):
-    """Returns train_step(model, optimizer, batch, key) -> (loss, metrics)."""
+    """Returns train_step(model, optimizer, batch, key) -> (loss, metrics).
+
+    With a 2-D (data, spatial) `mesh`, the range image and labels are
+    pinned to the data x spatial layout after projection/encode, so GSPMD
+    spatially partitions the FCN convolutions (halo exchanges at shard
+    edges) instead of gathering full images per chip.
+    """
 
     @nnx.jit
     def train_step(model, optimizer, batch, key):
@@ -53,6 +60,11 @@ def make_train_step(
                 key, images, labels,
                 batch["center"], batch["size"], batch["yaw"], spec,
             )
+        if mesh is not None:
+            from tpufusion.parallel.mesh import constrain_spatial
+
+            images = constrain_spatial(images, mesh)
+            labels = constrain_spatial(labels, mesh)
 
         def loss_fn(model):
             preds = model(images, train=True)

@@ -145,3 +145,63 @@ def test_fusion_training_driver():
         with open(out_csv) as fh:
             lines = fh.read().strip().splitlines()
         assert len(lines) == f + 1
+
+
+def test_detector_asset_carries_decode_operating_point():
+    """The shipped detector asset ships WITH the decode thresholds it was
+    validated at (asset json "decode" dict); tpufusion.benchmarks applies
+    them when loading the asset for configs 4/5."""
+    import json
+    import os
+
+    from tpufusion.benchmarks import _quick_trained_state
+    from tpufusion.config import DEFAULT, DecodeConfig
+
+    graphdef, state, dcfg = _quick_trained_state()
+    assert isinstance(dcfg, DecodeConfig)
+
+    asset_json = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), os.pardir,
+        "tpufusion", "assets", "synthetic_detector.npz.json",
+    )
+    if os.path.exists(asset_json):
+        with open(asset_json) as f:
+            meta = json.load(f)
+        if "decode" in meta:
+            for k, v in meta["decode"].items():
+                assert getattr(dcfg, k) == v
+        else:
+            assert dcfg == DEFAULT.decode
+
+
+def test_multi_vehicle_and_tracking_sequence_generators():
+    import jax
+    import numpy as np
+
+    from tpufusion.data.synthetic import (
+        synthesize_multi_vehicle_batch,
+        synthesize_tracking_sequence,
+    )
+
+    pts, gt = synthesize_multi_vehicle_batch(jax.random.PRNGKey(0), 2, 4096, 3)
+    assert pts.shape == (2, 4096, 4)
+    assert gt["center"].shape == (2, 3, 3)
+    c = np.asarray(gt["center"])
+    # vehicles angularly separated (clusters never merge in range view)
+    for fi in range(2):
+        ang = np.arctan2(c[fi, :, 1], c[fi, :, 0])
+        d = np.abs((ang[:, None] - ang[None, :] + np.pi) % (2 * np.pi) - np.pi)
+        np.fill_diagonal(d, 9)
+        assert d.min() > 0.7
+    # the last cluster points sit inside their vehicle's box
+    m = (4096 // 8) // 3
+    cluster = np.asarray(pts[0, -m:, :3])
+    assert np.abs(cluster - c[0, 2]).max() <= np.asarray([2.1, 0.8, 0.75]).max()
+
+    seq, sgt = synthesize_tracking_sequence(jax.random.PRNGKey(1), 6, 4096, 2)
+    assert seq.shape == (6, 4096, 4)
+    sc = np.asarray(sgt["center"])
+    # constant-velocity: uniform per-frame displacement, <= 2.83 m/s * dt
+    steps = np.linalg.norm(np.diff(sc[:, 0, :2], axis=0), axis=1)
+    assert np.allclose(steps, steps[0], atol=1e-5)
+    assert steps[0] <= 2.0 * np.sqrt(2.0) * 0.1 + 1e-6

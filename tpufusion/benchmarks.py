@@ -201,17 +201,20 @@ def config4_full_eval() -> dict:
         write_predictions_csv,
     )
 
-    graphdef, state = _quick_trained_state()
+    graphdef, state, dcfg = _quick_trained_state()
 
     from tpufusion.predict import make_e2e_step
 
-    fn = make_e2e_step(graphdef, SPEC, CFG.decode)
+    fn = make_e2e_step(graphdef, SPEC, dcfg)
 
     frames, batch = 128, 32
     sets, truths = [], []
     for i in range(frames // batch):
+        # max_yaw ~ 0: with the reference's orbit-origin corner
+        # convention, large yaw makes the pose target unobservable for
+        # axis-aligned clusters (data/synthetic.synthesize_points_batch)
         pts, gt = synthesize_points_batch(
-            jax.random.PRNGKey(1000 + i), batch, 32768
+            jax.random.PRNGKey(1000 + i), batch, 32768, max_yaw=0.05
         )
         force(pts)
         sets.append(pts)
@@ -258,12 +261,16 @@ def config4_full_eval() -> dict:
 
 def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
                          steps_per_batch: int = 15):
-    """Detector weights for configs 4/5: load the shipped synthetic-scene
-    asset (tpufusion/assets/synthetic_detector.npz, produced by
-    tools/train_synthetic_detector and picked by held-out eval score) when
-    present; otherwise ~120 in-benchmark training steps over several
-    distinct scene batches. Either way the decode's real (detection-load)
-    paths are exercised on unseen scenes."""
+    """Detector weights + decode operating point for configs 4/5: load
+    the shipped synthetic-scene asset (tpufusion/assets/
+    synthetic_detector.npz, produced by tools/train_synthetic_detector
+    and picked by held-out eval score) when present; otherwise ~120
+    in-benchmark training steps over several distinct scene batches.
+    Returns (graphdef, state, decode_cfg) — the asset json carries the
+    decode thresholds the asset was validated at (the reference's
+    constants assume large near-object footprints; see
+    tools/train_synthetic_detector.deployment_decode)."""
+    import json
     import os
 
     asset = os.path.join(
@@ -278,8 +285,15 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
             in_channels=3, rngs=nnx.Rngs(0),
         )
         load_state_npz(asset, model)
+        dcfg = CFG.decode
+        try:
+            with open(asset + ".json") as f:
+                dcfg = dataclasses.replace(CFG.decode, **json.load(f)["decode"])
+        except (OSError, KeyError, TypeError):
+            pass
         log(f"loaded detector asset {asset}")
-        return nnx.split(model)
+        gd, st = nnx.split(model)
+        return gd, st, dcfg
 
     import optax
 
@@ -315,7 +329,8 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
         for _ in range(steps_per_batch):
             key, sub = jax.random.split(key)
             step(model, opt, batch, sub)
-    return nnx.split(model)
+    gd, st = nnx.split(model)
+    return gd, st, CFG.decode
 
 
 def config5_waymo_scale() -> dict:
@@ -325,17 +340,29 @@ def config5_waymo_scale() -> dict:
     the full multi-object graph."""
     from tpufusion.serve.tracker import PoseTracker
 
-    graphdef, state = _quick_trained_state()
+    graphdef, state, dcfg = _quick_trained_state()
 
     from tpufusion.predict import make_e2e_step
 
-    fn = make_e2e_step(graphdef, SPEC, CFG.decode, max_obstacles=4)
+    fn = make_e2e_step(graphdef, SPEC, dcfg, max_obstacles=4)
 
     sets = _point_sets(4, 16, 131072)
     dt = measure(fn, [(state, p) for p in sets], reps=2)
 
-    # multi-object temporal tracking over the decoded stream (host side)
-    p, fd = fn(state, sets[0])
+    # multi-object temporal tracking: a coherent 16-frame sequence of two
+    # vehicles on constant-velocity paths (not independent scenes), decoded
+    # top-4 per frame, tracked host-side
+    from tpufusion.data.synthetic import synthesize_tracking_sequence
+
+    # tracking quality runs at the detector's training density (32k pts;
+    # 128k clouds quadruple the clutter density and spawn spurious
+    # clusters the asset was never trained against) — the throughput
+    # number above stays at the full Waymo-scale 131072
+    seq_pts, seq_gt = synthesize_tracking_sequence(
+        jax.random.PRNGKey(77), 16, 32768, n_vehicles=2
+    )
+    force(seq_pts)
+    p, fd = fn(state, seq_pts)
     tracker = PoseTracker(dt=0.1)
     trails = tracker.run_multi(np.asarray(p), np.asarray(fd))
 

@@ -20,8 +20,20 @@ def synthesize_points_batch(
     batch: int,
     n_points: int = 16384,
     max_range: float = 60.0,
+    max_yaw: float = 0.6,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Returns (points (B, N, 4), gt dict with center/size/yaw (B, ...))."""
+    """Returns (points (B, N, 4), gt dict with center/size/yaw (B, ...)).
+
+    NB on max_yaw: the reference's corner convention orbits the box about
+    the SENSOR ORIGIN by yaw (encoder.py:47-60), so the physical cluster
+    sits at Rz(yaw) @ center while gt center stays unrotated. The cluster
+    itself is axis-aligned, so yaw is UNOBSERVABLE from the image — with
+    large |yaw| the pose-regression target is unlearnable and any decoded
+    pose lands ~2 sin(|yaw|/2) * dist from gt (measured: that term alone
+    explains 0.7-20 m "errors"). Detector training/eval scenes should use
+    max_yaw ~ 0 (the reference's own real-data regime: the lead vehicle's
+    rz was near zero); the default 0.6 keeps the historical distribution
+    for geometry/projection tests, where yaw only moves the cluster."""
     keys = jax.random.split(key, 8)
     b, n = batch, n_points
 
@@ -43,7 +55,7 @@ def synthesize_points_batch(
         ],
         axis=-1,
     )
-    yaw = jax.random.uniform(keys[6], (b,), minval=-0.6, maxval=0.6)
+    yaw = jax.random.uniform(keys[6], (b,), minval=-max_yaw, maxval=max_yaw)
     size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (b, 3))
 
     # dense vehicle cluster at the rotated spot, occupying the last n//8 slots
@@ -68,6 +80,109 @@ def synthesize_points_batch(
     points = jnp.stack([x, y, z, intensity], axis=-1).astype(jnp.float32)
     gt = {"center": center, "size": size, "yaw": yaw}
     return points, gt
+
+
+def synthesize_multi_vehicle_batch(
+    key: jax.Array,
+    batch: int,
+    n_points: int = 16384,
+    n_vehicles: int = 2,
+    max_range: float = 60.0,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Multi-obstacle scenes: V dense box clusters per frame at distinct
+    azimuths (>= 0.7 rad apart so clusters never merge in the range
+    view). Returns (points (B, N, 4), gt with center (B, V, 3), size
+    (B, V, 3), yaw (B, V)). Feeds the top-K decode + multi-object
+    tracking paths (the reference's decode could only ever emit its
+    largest cluster, predict.py:58-71)."""
+    keys = jax.random.split(key, 7)
+    b, n, v = batch, n_points, n_vehicles
+
+    az = jax.random.uniform(keys[0], (b, n), minval=-np.pi, maxval=np.pi)
+    rng_r = jax.random.uniform(keys[1], (b, n), minval=2.0, maxval=max_range)
+    z = jax.random.uniform(keys[2], (b, n), minval=-1.9, maxval=0.5)
+    intensity = jax.random.uniform(keys[3], (b, n), minval=0.0, maxval=100.0)
+    x = rng_r * jnp.cos(az)
+    y = rng_r * jnp.sin(az)
+
+    # vehicle angular slots: evenly spaced base angles + small jitter keep
+    # every pair >= ~0.7 rad apart after the per-frame random rotation
+    base = jnp.linspace(0.0, 2.0 * np.pi, v, endpoint=False)
+    frame_rot = jax.random.uniform(
+        keys[4], (b, 1), minval=-np.pi, maxval=np.pi
+    )
+    jitter = jax.random.uniform(keys[5], (b, v), minval=-0.3, maxval=0.3)
+    angle = base[None, :] + frame_rot + jitter
+    dist = jax.random.uniform(keys[6], (b, v), minval=8.0, maxval=30.0)
+    center = jnp.stack(
+        [dist * jnp.cos(angle), dist * jnp.sin(angle),
+         jnp.full((b, v), -0.7)], axis=-1,
+    )  # (B, V, 3)
+    yaw = jnp.zeros((b, v))  # keep clusters axis-aligned at their spot
+    size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (b, v, 3))
+
+    m = (n // 8) // v  # points per vehicle cluster
+    offs = jax.random.uniform(
+        jax.random.fold_in(key, 99), (b, v, m, 3), minval=-1.0, maxval=1.0
+    )
+    half = size[:, :, None, :] / 2.0 * 0.95
+    vpts = center[:, :, None, :] + offs * half  # (B, V, m, 3)
+    vflat = vpts.reshape(b, v * m, 3)
+
+    x = x.at[:, -v * m:].set(vflat[..., 0])
+    y = y.at[:, -v * m:].set(vflat[..., 1])
+    z = z.at[:, -v * m:].set(vflat[..., 2])
+
+    points = jnp.stack([x, y, z, intensity], axis=-1).astype(jnp.float32)
+    return points, {"center": center, "size": size, "yaw": yaw}
+
+
+def synthesize_tracking_sequence(
+    key: jax.Array,
+    frames: int,
+    n_points: int = 16384,
+    n_vehicles: int = 2,
+    dt: float = 0.1,
+    max_range: float = 60.0,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Temporal sequence for multi-object tracking: V vehicles follow
+    constant-velocity paths (|v| <= 2 m/s) while background clutter is
+    resampled every frame. Returns (points (F, N, 4), gt with center
+    (F, V, 3), size (F, V, 3), yaw (F, V)). This is what BASELINE
+    config 5's "multi-frame temporal tracking" actually needs — frames
+    that are a coherent sequence, not independent scenes."""
+    kframe, klayout, kvel = jax.random.split(key, 3)
+    f, v = frames, n_vehicles
+
+    # one layout + per-vehicle velocity, advanced over frames
+    _, gt0 = synthesize_multi_vehicle_batch(klayout, 1, 64, v, max_range)
+    c0 = gt0["center"][0]  # (V, 3)
+    vel = jax.random.uniform(kvel, (v, 3), minval=-2.0, maxval=2.0)
+    vel = vel.at[:, 2].set(0.0)
+    t = jnp.arange(f, dtype=jnp.float32)[:, None, None] * dt
+    centers = c0[None] + vel[None] * t  # (F, V, 3)
+
+    # per-frame clutter + clusters at the advanced centers
+    keys = jax.random.split(kframe, 5)
+    b, n = f, n_points
+    az = jax.random.uniform(keys[0], (b, n), minval=-np.pi, maxval=np.pi)
+    rng_r = jax.random.uniform(keys[1], (b, n), minval=2.0, maxval=max_range)
+    z = jax.random.uniform(keys[2], (b, n), minval=-1.9, maxval=0.5)
+    intensity = jax.random.uniform(keys[3], (b, n), minval=0.0, maxval=100.0)
+    x = rng_r * jnp.cos(az)
+    y = rng_r * jnp.sin(az)
+
+    size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (b, v, 3))
+    m = (n // 8) // v
+    offs = jax.random.uniform(keys[4], (b, v, m, 3), minval=-1.0, maxval=1.0)
+    vpts = centers[:, :, None, :] + offs * (size[:, :, None, :] / 2.0 * 0.95)
+    vflat = vpts.reshape(b, v * m, 3)
+    x = x.at[:, -v * m:].set(vflat[..., 0])
+    y = y.at[:, -v * m:].set(vflat[..., 1])
+    z = z.at[:, -v * m:].set(vflat[..., 2])
+
+    points = jnp.stack([x, y, z, intensity], axis=-1).astype(jnp.float32)
+    return points, {"center": centers, "size": size, "yaw": jnp.zeros((b, v))}
 
 
 def synthesize_dataset(

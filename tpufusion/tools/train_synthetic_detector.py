@@ -39,8 +39,10 @@ ASSET = os.path.join(
 )
 
 
-def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768, seed=999):
-    pts, gt = synthesize_points_batch(jax.random.PRNGKey(seed), batch, n_points)
+def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
+             seed=999, max_yaw=0.05):
+    pts, gt = synthesize_points_batch(jax.random.PRNGKey(seed), batch,
+                                      n_points, max_yaw=max_yaw)
     imgs = range_view_project_batch(pts, spec)
     preds = nnx.merge(graphdef, state)(imgs, train=False)
     out = decode_batch(preds, imgs, spec, dcfg)
@@ -51,8 +53,29 @@ def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768, seed=999):
     det = float(fd.mean())
     within2 = float((d < 2.0)[fd].mean()) if fd.any() else 0.0
     err = float(d[fd].mean()) if fd.any() else float("nan")
+    from tpufusion.eval.scoring import score_poses
+
+    truth = np.concatenate(
+        [tr, np.asarray(gt["yaw"])[:, None], np.asarray(gt["size"])], axis=1
+    )
+    sc = score_poses(po, truth)
     return {"det": det, "xy_err": err, "within2m": within2,
-            "score": det * within2}
+            "mean_iou": float(sc["mean_iou"]),
+            "recall_iou25": float(sc["recall@iou0.25"]),
+            "score": det * (within2 + float(sc["recall@iou0.25"]))}
+
+
+def deployment_decode(base, min_prob: float, min_bbox_area: float):
+    """The asset's decode operating point. The reference's constants
+    (min_prob 0.5, min_bbox_area 100, predict.py:28-31) were tuned to its
+    real Didi bags, where the obstacle footprint is large; synthetic
+    scenes place vehicles at 8-30 m where exact footprints can be ~36 px
+    — below the reference's area gate. A detector asset therefore ships
+    WITH the thresholds it was validated at (stored in the asset json and
+    applied by tpufusion.benchmarks when loading the asset)."""
+    return dataclasses.replace(
+        base, min_prob=min_prob, min_bbox_area=min_bbox_area
+    )
 
 
 def main(argv=None):
@@ -63,6 +86,26 @@ def main(argv=None):
     ap.add_argument("--eval_every", type=int, default=200)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=ASSET)
+    # W1 background-weight boost: at ratio*1 the class-balanced loss makes
+    # boundary over-painting nearly free, so the positive region dilates
+    # ~4-5x and the decoded centroid drifts (measured: precision 0.21
+    # even when overfitting one batch; 0.59 with boost 20 = a 1-px
+    # boundary ring, the achievable limit for ~37 px footprints).
+    ap.add_argument("--w1_boost", type=float, default=20.0)
+    ap.add_argument("--eval_min_prob", type=float, default=0.9)
+    ap.add_argument("--eval_min_bbox_area", type=float, default=20.0)
+    # yaw ~ 0: the reference's orbit-origin corner convention makes yaw
+    # unobservable for axis-aligned synthetic clusters (see
+    # data/synthetic.synthesize_points_batch); train/eval in the regime
+    # where the task is well-posed, like the reference's real data was
+    ap.add_argument("--max_yaw", type=float, default=0.05)
+    # regression weight: the reference's 0.01 was tuned alongside its
+    # uint8 label cast that destroyed the regression targets
+    # (loader.py:251) — its reg head never really trained. With intact
+    # float targets the head needs real gradient share to learn box
+    # size/yaw (IoU stays ~0 otherwise: the corner vote averages
+    # near-zero corners into degenerate boxes)
+    ap.add_argument("--weight_bb", type=float, default=1.0)
     args = ap.parse_args(argv)
 
     cfg = DEFAULT
@@ -77,7 +120,7 @@ def main(argv=None):
     opt = nnx.Optimizer(model, optax.adam(sched), wrt=nnx.Param)
 
     pts, gt = synthesize_points_batch(jax.random.PRNGKey(42), args.batch,
-                                      args.n_points)
+                                      args.n_points, max_yaw=args.max_yaw)
     stats = population_weights(
         np.asarray(gt["center"]), np.asarray(gt["size"]),
         np.asarray(gt["yaw"]), spec,
@@ -85,12 +128,17 @@ def main(argv=None):
     step = make_train_step(
         spec,
         LossConfig(
-            obj_to_bkg_ratio=stats["positive_to_negative_ratio"],
+            obj_to_bkg_ratio=stats["positive_to_negative_ratio"]
+            * args.w1_boost,
             avg_obj_size=stats["average_area"],
+            weight_bb=args.weight_bb,
         ),
         TrainConfig(batch_size=args.batch, augment=True),
     )
     graphdef, _ = nnx.split(model)
+    dcfg = deployment_decode(
+        cfg.decode, args.eval_min_prob, args.eval_min_bbox_area
+    )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     best = {"score": -1.0}
@@ -98,7 +146,8 @@ def main(argv=None):
     t0 = time.time()
     for s in range(1, args.steps + 1):
         p, g = synthesize_points_batch(
-            jax.random.PRNGKey(100_000 + s), args.batch, args.n_points
+            jax.random.PRNGKey(100_000 + s), args.batch, args.n_points,
+            max_yaw=args.max_yaw,
         )
         batch = {"points": p, "center": g["center"], "size": g["size"],
                  "yaw": g["yaw"]}
@@ -106,11 +155,12 @@ def main(argv=None):
         loss, _ = step(model, opt, batch, sub)
         if s % args.eval_every == 0 or s == args.steps:
             _, state = nnx.split(model)
-            ev = evaluate(graphdef, state, spec, cfg.decode,
-                          args.batch, args.n_points)
+            ev = evaluate(graphdef, state, spec, dcfg,
+                          args.batch, args.n_points, max_yaw=args.max_yaw)
             print(
                 f"step {s}: loss {float(loss):.3f} det {ev['det']:.2f} "
                 f"xy_err {ev['xy_err']:.2f} within2m {ev['within2m']:.2f} "
+                f"iou {ev['mean_iou']:.2f} r25 {ev['recall_iou25']:.2f} "
                 f"({time.time() - t0:.0f}s)", flush=True,
             )
             if ev["score"] > best["score"]:
@@ -118,7 +168,12 @@ def main(argv=None):
                 save_state_npz(args.out, model)
     with open(args.out + ".json", "w") as f:
         json.dump({"best": best, "steps": args.steps,
-                   "batch": args.batch, "n_points": args.n_points}, f)
+                   "max_yaw": args.max_yaw,
+                   "batch": args.batch, "n_points": args.n_points,
+                   "w1_boost": args.w1_boost,
+                   "weight_bb": args.weight_bb,
+                   "decode": {"min_prob": args.eval_min_prob,
+                              "min_bbox_area": args.eval_min_bbox_area}}, f)
     print("best:", best, "->", args.out)
 
 

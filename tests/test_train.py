@@ -346,3 +346,31 @@ def test_fit_recovers_from_divergence(tmp_path):
     assert all(n <= 2 for n in drains) and len(drains) >= 2
     # the restored-then-trained weights moved off the checkpoint
     assert np.abs(now - good).max() > 0
+
+
+def test_reg_output_activation_linear_represents_signed_targets():
+    """relu (reference-compat) clamps the regression head to >= 0 —
+    unable to express the signed corner targets (PARITY.md #7); the
+    "linear" option passes negatives through."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from tpufusion.config import ModelConfig
+    from tpufusion.models.fcn import FCN
+
+    x = jnp.zeros((1, 8, 201, 3))
+    for act, can_be_negative in (("relu", False), ("linear", True)):
+        m = FCN(
+            dataclasses.replace(
+                ModelConfig(), reg_output_activation=act
+            ),
+            in_channels=3, rngs=nnx.Rngs(0),
+        )
+        # force the head negative-biased so linear must emit negatives
+        m.deconv6b.bias[:] = -1.0 * jnp.ones_like(m.deconv6b.bias[...])
+        out = np.asarray(m(x, train=False))
+        reg = out[..., 2:]
+        assert (reg < 0).any() == can_be_negative, act

@@ -280,17 +280,19 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
     if os.path.exists(asset):
         from tpufusion.models.io import load_state_npz
 
+        dcfg, mcfg = CFG.decode, {}
+        try:
+            with open(asset + ".json") as f:
+                meta = json.load(f)
+            dcfg = dataclasses.replace(CFG.decode, **meta.get("decode", {}))
+            mcfg = meta.get("model", {})
+        except (OSError, KeyError, TypeError):
+            pass
         model = FCN(
-            dataclasses.replace(CFG.model, dtype="bfloat16"),
+            dataclasses.replace(CFG.model, dtype="bfloat16", **mcfg),
             in_channels=3, rngs=nnx.Rngs(0),
         )
         load_state_npz(asset, model)
-        dcfg = CFG.decode
-        try:
-            with open(asset + ".json") as f:
-                dcfg = dataclasses.replace(CFG.decode, **json.load(f)["decode"])
-        except (OSError, KeyError, TypeError):
-            pass
         log(f"loaded detector asset {asset}")
         gd, st = nnx.split(model)
         return gd, st, dcfg

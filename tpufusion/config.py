@@ -112,6 +112,16 @@ class ModelConfig:
     # shipped lidar_model.h5 uses this flavor)
     sample_wise_bn: bool = False
     dtype: str = "float32"  # compute dtype for conv stack ("bfloat16" on TPU)
+    # Output activation of the corner-regression head. The reference uses
+    # relu (model.py:171-181) — but its targets c' = R^T(corners - pixel)
+    # are SIGNED (measured: 56% of foreground target components are
+    # negative, mean |c'| 2.7 m), so a relu head cannot represent them and
+    # collapses to ~0; the reference never noticed because its uint8 label
+    # cast (loader.py:251) had already destroyed the targets. "linear"
+    # makes the corner vote work as designed (deliberate divergence,
+    # PARITY.md #7); "relu" remains the reference-compat default and is
+    # what the imported lidar_model.h5 uses.
+    reg_output_activation: str = "relu"
 
 
 @dataclass(frozen=True)

@@ -164,7 +164,9 @@ class FCN(nnx.Module):
 
         d5b = nnx.relu(self.deconv5b(cat4))[:, :, crop5:, :]
         cat5b = jnp.concatenate([c1, d5b], axis=-1)
-        d6b = nnx.relu(self.deconv6b(cat5b))[:, :, :w, :]
+        d6b = self.deconv6b(cat5b)[:, :, :w, :]
+        if cfg.reg_output_activation == "relu":
+            d6b = nnx.relu(d6b)  # reference-compat; see ModelConfig
         return jnp.concatenate([probs, d6b.astype(jnp.float32)], axis=-1)
 
     def features(self, x: jax.Array, *, train: bool = False) -> jax.Array:

@@ -106,12 +106,17 @@ def main(argv=None):
     # size/yaw (IoU stays ~0 otherwise: the corner vote averages
     # near-zero corners into degenerate boxes)
     ap.add_argument("--weight_bb", type=float, default=1.0)
+    # linear: a relu output cannot represent the signed corner targets
+    # (see ModelConfig.reg_output_activation) — with it the vote's boxes
+    # degenerate to ~0.1 m and IoU pins at 0
+    ap.add_argument("--reg_activation", default="linear")
     args = ap.parse_args(argv)
 
     cfg = DEFAULT
     spec = cfg.range_view
     model = FCN(
-        dataclasses.replace(cfg.model, dtype="bfloat16"),
+        dataclasses.replace(cfg.model, dtype="bfloat16",
+                            reg_output_activation=args.reg_activation),
         in_channels=3, rngs=nnx.Rngs(0),
     )
     sched = optax.warmup_cosine_decay_schedule(
@@ -173,7 +178,9 @@ def main(argv=None):
                    "w1_boost": args.w1_boost,
                    "weight_bb": args.weight_bb,
                    "decode": {"min_prob": args.eval_min_prob,
-                              "min_bbox_area": args.eval_min_bbox_area}}, f)
+                              "min_bbox_area": args.eval_min_bbox_area},
+                   "model": {"reg_output_activation": args.reg_activation}},
+                  f)
     print("best:", best, "->", args.out)
 
 

@@ -374,3 +374,42 @@ def test_reg_output_activation_linear_represents_signed_targets():
         out = np.asarray(m(x, train=False))
         reg = out[..., 2:]
         assert (reg < 0).any() == can_be_negative, act
+
+
+def test_reg_target_norm_clip_masks_clutter_pixels():
+    """Pixels whose target corner norm exceeds the clip contribute no
+    regression loss (LossConfig.reg_target_norm_clip); default None keeps
+    the reference's supervise-the-whole-rect behavior."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufusion.config import LossConfig
+    from tpufusion.models.losses import weighted_pose_loss
+
+    b, p = 1, 4
+    y_true = np.zeros((b, p, 26), np.float32)
+    y_true[..., 0] = 1.0
+    # pixel 0: foreground, small well-defined target
+    y_true[0, 0, :2] = [0.0, 1.0]
+    y_true[0, 0, 2:] = 0.5
+    # pixel 1: foreground, huge clutter target (norm ~ 98)
+    y_true[0, 1, :2] = [0.0, 1.0]
+    y_true[0, 1, 2:] = 20.0
+    y_pred = np.full((b, p, 26), 0.5, np.float32)
+    y_pred[..., :2] = 0.5
+
+    base = dict(obj_to_bkg_ratio=0.1, avg_obj_size=2.0, weight_bb=1.0)
+    l_ref = float(weighted_pose_loss(jnp.asarray(y_pred), jnp.asarray(y_true),
+                                     LossConfig(**base)))
+    l_clip = float(weighted_pose_loss(jnp.asarray(y_pred), jnp.asarray(y_true),
+                                      LossConfig(**base,
+                                                 reg_target_norm_clip=15.0)))
+    # clipping removes the huge pixel's reg term -> strictly smaller loss
+    assert l_clip < l_ref
+    # and equals a hand-built loss where pixel 1's reg contribution is gone
+    y_true_nop1 = y_true.copy()
+    y_true_nop1[0, 1, 2:] = y_pred[0, 1, 2:]  # zero diff -> zero reg term
+    l_manual = float(weighted_pose_loss(jnp.asarray(y_pred),
+                                        jnp.asarray(y_true_nop1),
+                                        LossConfig(**base)))
+    np.testing.assert_allclose(l_clip, l_manual, rtol=1e-6)

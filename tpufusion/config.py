@@ -122,6 +122,12 @@ class ModelConfig:
     # PARITY.md #7); "relu" remains the reference-compat default and is
     # what the imported lidar_model.h5 uses.
     reg_output_activation: str = "relu"
+    # Channel-width multiplier for the conv trunk (1 = the reference's
+    # 4/6/12/16/8 geometry). The reference's widths bottleneck the
+    # 24-dim corner-offset field (measured: predicted offsets collapse to
+    # ~0.2x the target std at width 1); widen for assets that need a
+    # working regression head. Output/head channel counts are unchanged.
+    width_multiplier: int = 1
 
 
 @dataclass(frozen=True)
@@ -134,6 +140,15 @@ class LossConfig:
     avg_obj_size: float = 1000.0
     weight_bb: float = 0.01
     loss_scaler: float = 1000.0
+    # When set, regression loss is masked to pixels whose target 24-dim
+    # corner-offset norm is below this bound. The reference supervises the
+    # whole footprint RECT (encoder.py:164-168), which includes pixels
+    # whose ray passes the rect but hits distant clutter — their targets
+    # c' = R^T(corners - p) span tens of meters (measured std 6.4 m vs
+    # <= the box diagonal on surface pixels) and drown the learnable
+    # signal. ~15.0 keeps every true surface pixel (sqrt(8)*diag ~ 13).
+    # None = reference-compat (supervise the whole rect).
+    reg_target_norm_clip: float | None = None
     # The reference computes `tf.norm` over the whole batch regression diff
     # (a scalar) instead of per pixel (`model.py:77-80`). We default to the
     # fixed per-pixel norm; set reference_compat=True to reproduce the quirk.

@@ -115,16 +115,18 @@ class FCN(nnx.Module):
             self.norm = nnx.BatchNorm(
                 in_channels, momentum=0.99, epsilon=1e-3, rngs=rngs
             )
-        self.conv1 = conv(in_channels, 4, (vs, 4))
-        self.conv2 = conv(4, 6, (vs, 2))
-        self.conv3 = conv(6, 12, (vs, 2))
-        self.deconv4 = deconv(12, 16, (vs, 2))
-        self.deconv5a = deconv(22, 8, (vs, 2))
-        self.deconv6a = deconv(12, 2, (vs, 4))
+        wm = cfg.width_multiplier
+        self.conv1 = conv(in_channels, 4 * wm, (vs, 4))
+        self.conv2 = conv(4 * wm, 6 * wm, (vs, 2))
+        self.conv3 = conv(6 * wm, 12 * wm, (vs, 2))
+        self.deconv4 = deconv(12 * wm, 16 * wm, (vs, 2))
+        self.deconv5a = deconv(22 * wm, 8 * wm, (vs, 2))
+        self.deconv6a = deconv(12 * wm, 2, (vs, 4))
         if cfg.use_regression:
-            self.deconv5b = deconv(22, cfg.num_corner_outputs, (vs, 2))
+            self.deconv5b = deconv(22 * wm, cfg.num_corner_outputs, (vs, 2))
             self.deconv6b = deconv(
-                4 + cfg.num_corner_outputs, cfg.num_corner_outputs, (vs, 4)
+                4 * wm + cfg.num_corner_outputs, cfg.num_corner_outputs,
+                (vs, 4)
             )
 
     def _trunk(self, x: jax.Array, train: bool):

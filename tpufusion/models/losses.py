@@ -52,13 +52,22 @@ def weighted_pose_loss(
 
     if use_regression:
         diff = y_true[..., 2:] - y_pred[..., 2:]
+        w2r = w2
+        if cfg.reg_target_norm_clip is not None:
+            # supervise only pixels whose target is well-defined (surface
+            # pixels); rect pixels hitting distant clutter carry huge
+            # targets — see LossConfig.reg_target_norm_clip
+            tnorm = jnp.sqrt(
+                jnp.sum(y_true[..., 2:] ** 2, axis=-1, keepdims=True)
+            )
+            w2r = w2 * (tnorm <= cfg.reg_target_norm_clip)
         if cfg.reference_compat:
             # scalar Frobenius norm over the whole batch (reference quirk)
             norm = jnp.sqrt(jnp.sum(diff * diff))
-            reg_loss = jnp.sum(w2 * norm, axis=-1)  # (B, P)
+            reg_loss = jnp.sum(w2r * norm, axis=-1)  # (B, P)
         else:
             norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True))
-            reg_loss = jnp.sum(w2 * norm, axis=-1)
+            reg_loss = jnp.sum(w2r * norm, axis=-1)
         loss = loss + cfg.weight_bb * reg_loss
 
     return jnp.mean(loss)

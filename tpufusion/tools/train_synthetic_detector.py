@@ -110,13 +110,16 @@ def main(argv=None):
     # (see ModelConfig.reg_output_activation) — with it the vote's boxes
     # degenerate to ~0.1 m and IoU pins at 0
     ap.add_argument("--reg_activation", default="linear")
+    ap.add_argument("--reg_clip", type=float, default=15.0)
+    ap.add_argument("--width_mult", type=int, default=2)
     args = ap.parse_args(argv)
 
     cfg = DEFAULT
     spec = cfg.range_view
     model = FCN(
         dataclasses.replace(cfg.model, dtype="bfloat16",
-                            reg_output_activation=args.reg_activation),
+                            reg_output_activation=args.reg_activation,
+                            width_multiplier=args.width_mult),
         in_channels=3, rngs=nnx.Rngs(0),
     )
     sched = optax.warmup_cosine_decay_schedule(
@@ -137,6 +140,7 @@ def main(argv=None):
             * args.w1_boost,
             avg_obj_size=stats["average_area"],
             weight_bb=args.weight_bb,
+            reg_target_norm_clip=args.reg_clip,
         ),
         TrainConfig(batch_size=args.batch, augment=True),
     )
@@ -179,7 +183,8 @@ def main(argv=None):
                    "weight_bb": args.weight_bb,
                    "decode": {"min_prob": args.eval_min_prob,
                               "min_bbox_area": args.eval_min_bbox_area},
-                   "model": {"reg_output_activation": args.reg_activation}},
+                   "model": {"reg_output_activation": args.reg_activation,
+                             "width_multiplier": args.width_mult}},
                   f)
     print("best:", best, "->", args.out)
 

@@ -157,8 +157,9 @@ def test_detector_asset_carries_decode_operating_point():
     from tpufusion.benchmarks import _quick_trained_state
     from tpufusion.config import DEFAULT, DecodeConfig
 
-    graphdef, state, dcfg = _quick_trained_state()
+    graphdef, state, dcfg, head = _quick_trained_state()
     assert isinstance(dcfg, DecodeConfig)
+    assert head in ("corner", "direct")
 
     asset_json = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), os.pardir,

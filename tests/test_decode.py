@@ -148,3 +148,81 @@ def test_decode_frame_recovers_pose(rng, vehicle):
 
     # and the pose should be physically near the (rotated) truth
     assert np.linalg.norm(pose[:3] - np.array(spot)) < 1.5
+
+
+def test_direct_head_codec_round_trip():
+    """Perfect direct-head labels through the direct decode recover the
+    exact pose — the direct analogue of the corner codec's encode/decode
+    inverse pair (framework extension, ModelConfig.head="direct")."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_points_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt = synthesize_points_batch(
+        jax.random.PRNGKey(5), 4, 16384, max_yaw=0.4
+    )
+    imgs = range_view_project_batch(pts, spec)
+    labels = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec
+    )
+    dcfg = dataclasses.replace(cfg.decode, min_bbox_area=20.0)
+    out = decode_batch_direct(labels, imgs, spec, dcfg, 1)
+    po = np.asarray(out["poses"])[:, 0]
+    fd = np.asarray(out["found"])[:, 0]
+    c = np.asarray(gt["center"])
+    assert fd.all()
+    np.testing.assert_allclose(po[:, :3], c, atol=1e-3)
+    np.testing.assert_allclose(po[:, 3], np.asarray(gt["yaw"]), atol=1e-3)
+    np.testing.assert_allclose(po[:, 4:7], np.asarray(gt["size"]), atol=1e-3)
+
+
+def test_direct_head_top_k_two_vehicles():
+    """Direct decode returns both vehicles of a two-cluster scene."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_multi_vehicle_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt = synthesize_multi_vehicle_batch(jax.random.PRNGKey(3), 1, 16384, 2)
+    imgs = range_view_project_batch(pts, spec)
+    # merge per-vehicle labels: take the vehicle whose footprint owns the px
+    labs = [
+        np.asarray(
+            encode_direct_label_batch(
+                gt["center"][:, v], gt["size"][:, v], gt["yaw"][:, v],
+                imgs, spec,
+            )
+        )[0]
+        for v in range(2)
+    ]
+    fg = np.maximum(labs[0][..., 1], labs[1][..., 1])
+    reg = np.where(labs[1][..., 1:2] > 0.5, labs[1][..., 2:], labs[0][..., 2:])
+    merged = np.concatenate([(1 - fg)[..., None], fg[..., None], reg], -1)
+
+    dcfg = dataclasses.replace(cfg.decode, min_bbox_area=20.0)
+    out = decode_batch_direct(merged[None], imgs, spec, dcfg, 4)
+    po = np.asarray(out["poses"])[0]
+    fd = np.asarray(out["found"])[0]
+    assert int(fd.sum()) == 2
+    got = po[fd][:, :2]
+    c = np.asarray(gt["center"])[0, :, :2]
+    d = np.linalg.norm(got[:, None] - c[None], axis=-1)
+    assert set(d.argmin(axis=1)) == {0, 1}
+    assert (d.min(axis=1) < 0.5).all()

@@ -201,11 +201,11 @@ def config4_full_eval() -> dict:
         write_predictions_csv,
     )
 
-    graphdef, state, dcfg = _quick_trained_state()
+    graphdef, state, dcfg, head = _quick_trained_state()
 
     from tpufusion.predict import make_e2e_step
 
-    fn = make_e2e_step(graphdef, SPEC, dcfg)
+    fn = make_e2e_step(graphdef, SPEC, dcfg, head=head)
 
     frames, batch = 128, 32
     sets, truths = [], []
@@ -306,7 +306,7 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
         load_state_npz(asset, model)
         log(f"loaded detector asset {asset}")
         gd, st = nnx.split(model)
-        return gd, st, dcfg
+        return gd, st, dcfg, mcfg.get("head", "corner")
 
     import optax
 
@@ -343,7 +343,7 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
             key, sub = jax.random.split(key)
             step(model, opt, batch, sub)
     gd, st = nnx.split(model)
-    return gd, st, CFG.decode
+    return gd, st, CFG.decode, "corner"
 
 
 def config5_waymo_scale() -> dict:
@@ -353,11 +353,11 @@ def config5_waymo_scale() -> dict:
     the full multi-object graph."""
     from tpufusion.serve.tracker import PoseTracker
 
-    graphdef, state, dcfg = _quick_trained_state()
+    graphdef, state, dcfg, head = _quick_trained_state()
 
     from tpufusion.predict import make_e2e_step
 
-    fn = make_e2e_step(graphdef, SPEC, dcfg, max_obstacles=4)
+    fn = make_e2e_step(graphdef, SPEC, dcfg, max_obstacles=4, head=head)
 
     sets = _point_sets(4, 16, 131072)
     dt = measure(fn, [(state, p) for p in sets], reps=2)

@@ -122,6 +122,13 @@ class ModelConfig:
     # PARITY.md #7); "relu" remains the reference-compat default and is
     # what the imported lidar_model.h5 uses.
     reg_output_activation: str = "relu"
+    # Regression head family. "corner" = the reference's 24-dim per-pixel
+    # corner-offset field consumed by the voting decode (predict.py:94-199).
+    # "direct" = an 8-channel (center offset, l w h, sin/cos yaw) head
+    # decoded by masked cluster averaging — the corner field does not
+    # converge at this model scale (NOTES.md round-2 session 3); the
+    # direct head is the framework's working-pose-regression extension.
+    head: str = "corner"
     # Channel-width multiplier for the conv trunk (1 = the reference's
     # 4/6/12/16/8 geometry). The reference's widths bottleneck the
     # 24-dim corner-offset field (measured: predicted offsets collapse to

@@ -21,8 +21,13 @@ def synthesize_points_batch(
     n_points: int = 16384,
     max_range: float = 60.0,
     max_yaw: float = 0.6,
+    vary_size: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Returns (points (B, N, 4), gt dict with center/size/yaw (B, ...)).
+
+    vary_size=True draws l/w/h from vehicle-like ranges instead of the
+    fixed (4.2, 1.6, 1.5) — used to train size-predicting heads so the
+    network must measure the cluster rather than memorise a constant.
 
     NB on max_yaw: the reference's corner convention orbits the box about
     the SENSOR ORIGIN by yaw (encoder.py:47-60), so the physical cluster
@@ -56,7 +61,14 @@ def synthesize_points_batch(
         axis=-1,
     )
     yaw = jax.random.uniform(keys[6], (b,), minval=-max_yaw, maxval=max_yaw)
-    size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (b, 3))
+    if vary_size:
+        lo = jnp.asarray([3.5, 1.4, 1.2])
+        hi = jnp.asarray([5.5, 2.1, 1.9])
+        size = jax.random.uniform(
+            jax.random.fold_in(key, 11), (b, 3), minval=lo, maxval=hi
+        )
+    else:
+        size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (b, 3))
 
     # dense vehicle cluster at the rotated spot, occupying the last n//8 slots
     m = n // 8

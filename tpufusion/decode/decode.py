@@ -492,3 +492,104 @@ def decode_batch_multi(
     return jax.vmap(lambda p, im: decode_frame_multi(p, im, spec, cfg, k))(
         y_pred, images
     )
+
+
+# ---------------------------------------------------------------------------
+# Direct-pose decode (framework extension; pairs with ModelConfig.head=
+# "direct" and geometry/encoding.encode_direct_label). Cluster discovery is
+# identical to the reference path (_heat_components); the pose then comes
+# from probability-weighted averaging of the per-pixel direct predictions
+# over the winning cluster's valid pixels — no corner voting.
+# ---------------------------------------------------------------------------
+
+
+def _direct_pose_from_cluster(
+    y_pred: jax.Array,  # (H, W, 2+8) [bkg, fg, dc(3), lwh(3), sin, cos]
+    image: jax.Array,  # (H, W, >=2)
+    cluster: jax.Array,  # (H, W) bool — pixels of one cluster
+    spec: RangeViewSpec,
+    cfg: DecodeConfig,
+):
+    """Weighted average of decoded per-pixel poses over cluster pixels with
+    valid returns. Returns (pose (7,), ok bool)."""
+    from tpufusion.geometry.encoding import pixel_points, pixel_rotations
+
+    valid = (image[..., 0] > 0) & (image[..., 1] > spec.min_height)
+    m = cluster & valid & (y_pred[..., 1] >= cfg.min_prob)
+    w = jnp.where(m, y_pred[..., 1], 0.0)
+    tot = jnp.maximum(jnp.sum(w), 1e-6)
+
+    p = pixel_points(image, spec)  # (H, W, 3)
+    rot = pixel_rotations(spec)  # (H, W, 3, 3)
+    dc = y_pred[..., 2:5]
+    c_phys_px = (
+        jnp.einsum("hwij,hwj->hwi", rot, dc, precision="highest") + p
+    )  # per-pixel decoded physical center
+    c_phys = jnp.sum(c_phys_px * w[..., None], axis=(0, 1)) / tot
+    lwh = jnp.sum(y_pred[..., 5:8] * w[..., None], axis=(0, 1)) / tot
+    sin_m = jnp.sum(y_pred[..., 8] * w) / tot
+    cos_m = jnp.sum(y_pred[..., 9] * w) / tot
+    yaw = jnp.arctan2(sin_m, cos_m)
+
+    # back to the reference's conventional frame: center = Rz(-yaw) c_phys
+    c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+    center = jnp.stack(
+        [
+            c * c_phys[0] - s * c_phys[1],
+            s * c_phys[0] + c * c_phys[1],
+            c_phys[2],
+        ]
+    )
+    pose = jnp.concatenate([center, yaw[None], lwh])
+    ok = jnp.sum(m) > 0
+    return jnp.where(ok, pose, 0.0), ok
+
+
+def decode_frame_direct(
+    y_pred: jax.Array,  # (H, W, 2+8)
+    image: jax.Array,  # (H, W, >=2)
+    spec: RangeViewSpec = RangeViewSpec(),
+    cfg: DecodeConfig = DecodeConfig(),
+    k: int = 1,
+) -> dict[str, jax.Array]:
+    """Direct-head decode: top-k clusters -> averaged poses (k, 7).
+
+    k=1 mirrors decode_frame's largest-cluster semantics but still returns
+    (1, 7)/(1,) shaped outputs; squeeze at the call site if needed."""
+    prob = y_pred[..., 1]
+    mask, labels, min_x, max_x, min_y, max_y = _heat_components(prob, cfg)
+
+    h, w = prob.shape
+    flat_ids = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    )
+    is_root = mask & (labels == flat_ids)
+    area = (max_x - min_x) * (max_y - min_y)
+    score = jnp.where(is_root, area, -1)
+    areas, idx = jax.lax.top_k(score.ravel(), k)
+    found = areas > cfg.min_bbox_area
+
+    def one(root_id, ok):
+        cluster = mask & (labels == root_id)
+        pose, nonempty = _direct_pose_from_cluster(
+            y_pred, image, cluster, spec, cfg
+        )
+        good = ok & nonempty
+        return jnp.where(good, pose, 0.0), good
+
+    poses, oks = jax.vmap(one)(idx, found)
+    return {
+        "poses": poses,
+        "found": oks,
+        "areas": jnp.where(found, areas.astype(jnp.float32), 0.0),
+    }
+
+
+def decode_batch_direct(
+    y_pred, images, spec=RangeViewSpec(), cfg=DecodeConfig(), k: int = 1
+):
+    """(B, H, W, 10), (B, H, W, C) -> poses (B, k, 7), found (B, k)."""
+    return jax.vmap(
+        lambda p, im: decode_frame_direct(p, im, spec, cfg, k)
+    )(y_pred, images)

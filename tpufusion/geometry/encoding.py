@@ -134,3 +134,60 @@ def encode_label_batch(centers, sizes, yaws, images, spec: RangeViewSpec):
     return jax.vmap(lambda c, s, y, im: encode_label(c, s, y, im, spec))(
         centers, sizes, yaws, images
     )
+
+
+# ---------------------------------------------------------------------------
+# Direct-pose head targets (framework extension; ModelConfig.head="direct").
+# The reference's 24-dim corner field does not converge at this model scale
+# (NOTES.md round-2 session 3); a per-pixel (center offset, size, yaw)
+# target is low-variance on surface pixels and decodes by masked averaging.
+# ---------------------------------------------------------------------------
+
+DIRECT_CHANNELS = 8  # dc (3 local-frame), l w h (3), sin yaw, cos yaw
+
+
+def encode_direct_label(
+    center: jax.Array,  # (3,)
+    size: jax.Array,  # (3,)
+    yaw: jax.Array,  # ()
+    image: jax.Array,  # (H, W, >=2)
+    spec: RangeViewSpec = RangeViewSpec(),
+) -> jax.Array:
+    """(H, W, 2 + 8) target: [bkg, fg, dc(3), lwh(3), sin yaw, cos yaw].
+
+    dc = R^T (c_phys - p) in the pixel's local frame (same frame as the
+    corner codec, so it is exactly invariant under azimuth rolls), with
+    c_phys = Rz(yaw) @ center — the box's physical position under the
+    reference's orbit-origin convention (box_corners_3d). The sin/cos
+    channels are NOT roll-invariant (a roll rotates physical yaw);
+    direct-head training disables the roll augmentation.
+    """
+    mask = footprint_mask(center, size, yaw, spec)  # (H, W)
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    c_phys = jnp.stack(
+        [
+            c * center[0] - s * center[1],
+            s * center[0] + c * center[1],
+            center[2],
+        ]
+    )
+    p = pixel_points(image, spec)  # (H, W, 3)
+    rot = pixel_rotations(spec)  # (H, W, 3, 3)
+    dc = jnp.einsum(
+        "hwji,hwj->hwi", rot, c_phys[None, None, :] - p, precision="highest"
+    )  # (H, W, 3) — R^T (c_phys - p)
+    hw = mask.shape
+    lwh = jnp.broadcast_to(size[None, None, :], (*hw, 3))
+    sc = jnp.broadcast_to(
+        jnp.stack([jnp.sin(yaw), jnp.cos(yaw)])[None, None, :], (*hw, 2)
+    )
+    reg = jnp.concatenate([dc, lwh, sc], axis=-1) * mask[..., None]
+    onehot = jnp.stack([1.0 - mask, mask], axis=-1)
+    return jnp.concatenate([onehot, reg], axis=-1)
+
+
+def encode_direct_label_batch(centers, sizes, yaws, images, spec):
+    """vmapped encode_direct_label -> (B, H, W, 10)."""
+    return jax.vmap(
+        lambda c, s, y, im: encode_direct_label(c, s, y, im, spec)
+    )(centers, sizes, yaws, images)

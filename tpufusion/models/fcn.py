@@ -123,11 +123,19 @@ class FCN(nnx.Module):
         self.deconv5a = deconv(22 * wm, 8 * wm, (vs, 2))
         self.deconv6a = deconv(12 * wm, 2, (vs, 4))
         if cfg.use_regression:
-            self.deconv5b = deconv(22 * wm, cfg.num_corner_outputs, (vs, 2))
-            self.deconv6b = deconv(
-                4 * wm + cfg.num_corner_outputs, cfg.num_corner_outputs,
-                (vs, 4)
-            )
+            nreg = self.num_reg_channels
+            self.deconv5b = deconv(22 * wm, nreg, (vs, 2))
+            self.deconv6b = deconv(4 * wm + nreg, nreg, (vs, 4))
+
+    @property
+    def num_reg_channels(self) -> int:
+        from tpufusion.geometry.encoding import DIRECT_CHANNELS
+
+        return (
+            self.cfg.num_corner_outputs
+            if self.cfg.head == "corner"
+            else DIRECT_CHANNELS
+        )
 
     def _trunk(self, x: jax.Array, train: bool):
         """Shared encoder + deconv6a head; crops are derived from the input
@@ -167,8 +175,9 @@ class FCN(nnx.Module):
         d5b = nnx.relu(self.deconv5b(cat4))[:, :, crop5:, :]
         cat5b = jnp.concatenate([c1, d5b], axis=-1)
         d6b = self.deconv6b(cat5b)[:, :, :w, :]
-        if cfg.reg_output_activation == "relu":
+        if cfg.head == "corner" and cfg.reg_output_activation == "relu":
             d6b = nnx.relu(d6b)  # reference-compat; see ModelConfig
+            # ("direct" targets are signed — always linear)
         return jnp.concatenate([probs, d6b.astype(jnp.float32)], axis=-1)
 
     def features(self, x: jax.Array, *, train: bool = False) -> jax.Array:

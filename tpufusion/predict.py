@@ -27,7 +27,7 @@ log = get_logger("predict")
 
 
 def make_e2e_step(graphdef, spec, decode_cfg, method: str = "exact",
-                  max_obstacles: int = 1):
+                  max_obstacles: int = 1, head: str = "corner"):
     """The one fused inference graph everyone shares: raw point batches ->
     projection -> FCN -> pose decode. Used by the batch predictor, the
     replay harness, the online pipeline, and the benchmarks, so the decode
@@ -35,14 +35,23 @@ def make_e2e_step(graphdef, spec, decode_cfg, method: str = "exact",
 
     max_obstacles=1 keeps the reference's largest-cluster semantics
     (predict.py:58-71) and returns pose (B, 7); >1 decodes the top-K
-    clusters and returns poses (B, K, 7) for the multi-object tracker."""
-    from tpufusion.decode.decode import decode_batch_multi
+    clusters and returns poses (B, K, 7) for the multi-object tracker.
+    head="direct" routes through the direct-pose decode (masked cluster
+    averaging of the 8-channel head, decode.decode_batch_direct)."""
+    from tpufusion.decode.decode import decode_batch_direct, decode_batch_multi
 
     @jax.jit
     def step(state, points, valid=None):
         mdl = nnx.merge(graphdef, state)
         images = range_view_project_batch(points, spec, valid, method)
         preds = mdl(images, train=False)
+        if head == "direct":
+            out = decode_batch_direct(
+                preds, images, spec, decode_cfg, max_obstacles
+            )
+            if max_obstacles == 1:
+                return out["poses"][:, 0], out["found"][:, 0]
+            return out["poses"], out["found"]
         if max_obstacles > 1:
             out = decode_batch_multi(
                 preds, images, spec, decode_cfg, max_obstacles

@@ -40,14 +40,21 @@ ASSET = os.path.join(
 
 
 def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
-             seed=999, max_yaw=0.05):
+             seed=999, max_yaw=0.05, head="corner"):
     pts, gt = synthesize_points_batch(jax.random.PRNGKey(seed), batch,
                                       n_points, max_yaw=max_yaw)
     imgs = range_view_project_batch(pts, spec)
     preds = nnx.merge(graphdef, state)(imgs, train=False)
-    out = decode_batch(preds, imgs, spec, dcfg)
-    po = np.asarray(out["pose"])
-    fd = np.asarray(out["found"])
+    if head == "direct":
+        from tpufusion.decode.decode import decode_batch_direct
+
+        outd = decode_batch_direct(preds, imgs, spec, dcfg, 1)
+        po = np.asarray(outd["poses"])[:, 0]
+        fd = np.asarray(outd["found"])[:, 0]
+    else:
+        out = decode_batch(preds, imgs, spec, dcfg)
+        po = np.asarray(out["pose"])
+        fd = np.asarray(out["found"])
     tr = np.asarray(gt["center"])
     d = np.linalg.norm(po[:, :2] - tr[:, :2], axis=1)
     det = float(fd.mean())
@@ -112,6 +119,13 @@ def main(argv=None):
     ap.add_argument("--reg_activation", default="linear")
     ap.add_argument("--reg_clip", type=float, default=15.0)
     ap.add_argument("--width_mult", type=int, default=2)
+    # "direct" is the framework's working pose-regression head (the
+    # reference's corner field does not converge — NOTES.md); "corner"
+    # trains the reference-faithful voting pipeline
+    ap.add_argument("--head", default="direct")
+    # varied sizes force the direct head to MEASURE the cluster; the
+    # held-out eval keeps the challenge's fixed vehicle
+    ap.add_argument("--vary_size", action="store_true", default=True)
     args = ap.parse_args(argv)
 
     cfg = DEFAULT
@@ -119,7 +133,8 @@ def main(argv=None):
     model = FCN(
         dataclasses.replace(cfg.model, dtype="bfloat16",
                             reg_output_activation=args.reg_activation,
-                            width_multiplier=args.width_mult),
+                            width_multiplier=args.width_mult,
+                            head=args.head),
         in_channels=3, rngs=nnx.Rngs(0),
     )
     sched = optax.warmup_cosine_decay_schedule(
@@ -142,7 +157,9 @@ def main(argv=None):
             weight_bb=args.weight_bb,
             reg_target_norm_clip=args.reg_clip,
         ),
-        TrainConfig(batch_size=args.batch, augment=True),
+        TrainConfig(batch_size=args.batch,
+                    augment=args.head != "direct"),
+        head=args.head,
     )
     graphdef, _ = nnx.split(model)
     dcfg = deployment_decode(
@@ -156,7 +173,7 @@ def main(argv=None):
     for s in range(1, args.steps + 1):
         p, g = synthesize_points_batch(
             jax.random.PRNGKey(100_000 + s), args.batch, args.n_points,
-            max_yaw=args.max_yaw,
+            max_yaw=args.max_yaw, vary_size=args.vary_size,
         )
         batch = {"points": p, "center": g["center"], "size": g["size"],
                  "yaw": g["yaw"]}
@@ -165,7 +182,8 @@ def main(argv=None):
         if s % args.eval_every == 0 or s == args.steps:
             _, state = nnx.split(model)
             ev = evaluate(graphdef, state, spec, dcfg,
-                          args.batch, args.n_points, max_yaw=args.max_yaw)
+                          args.batch, args.n_points, max_yaw=args.max_yaw,
+                          head=args.head)
             print(
                 f"step {s}: loss {float(loss):.3f} det {ev['det']:.2f} "
                 f"xy_err {ev['xy_err']:.2f} within2m {ev['within2m']:.2f} "
@@ -184,7 +202,8 @@ def main(argv=None):
                    "decode": {"min_prob": args.eval_min_prob,
                               "min_bbox_area": args.eval_min_bbox_area},
                    "model": {"reg_output_activation": args.reg_activation,
-                             "width_multiplier": args.width_mult}},
+                             "width_multiplier": args.width_mult,
+                             "head": args.head}},
                   f)
     print("best:", best, "->", args.out)
 

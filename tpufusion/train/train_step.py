@@ -35,6 +35,7 @@ def make_train_step(
     train_cfg: TrainConfig,
     use_regression: bool = True,
     mesh=None,
+    head: str = "corner",
 ):
     """Returns train_step(model, optimizer, batch, key) -> (loss, metrics).
 
@@ -42,6 +43,11 @@ def make_train_step(
     pinned to the data x spatial layout after projection/encode, so GSPMD
     spatially partitions the FCN convolutions (halo exchanges at shard
     edges) instead of gathering full images per chip.
+
+    head="direct" encodes the 8-channel direct-pose targets instead of
+    the 24-dim corner field; the azimuth-roll augmentation is skipped for
+    it (the sin/cos yaw channels are not roll-invariant — see
+    geometry/encoding.encode_direct_label).
     """
 
     @nnx.jit
@@ -51,11 +57,17 @@ def make_train_step(
             # precomputed labels (camera-source training: footprints from
             # geometry/camera.camera_label_footprint, no on-device encode)
             labels = batch["labels"]
+        elif head == "direct":
+            from tpufusion.geometry.encoding import encode_direct_label_batch
+
+            labels = encode_direct_label_batch(
+                batch["center"], batch["size"], batch["yaw"], images, spec
+            )
         else:
             labels = encode_label_batch(
                 batch["center"], batch["size"], batch["yaw"], images, spec
             )
-        if train_cfg.augment and "labels" not in batch:
+        if train_cfg.augment and "labels" not in batch and head != "direct":
             images, labels = augment_batch(
                 key, images, labels,
                 batch["center"], batch["size"], batch["yaw"], spec,

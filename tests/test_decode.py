@@ -175,7 +175,7 @@ def test_direct_head_codec_round_trip():
         gt["center"], gt["size"], gt["yaw"], imgs, spec
     )
     dcfg = dataclasses.replace(cfg.decode, min_bbox_area=20.0)
-    out = decode_batch_direct(labels, imgs, spec, dcfg, 1)
+    out = decode_batch_direct(labels, imgs, spec, dcfg, 1, center="head")
     po = np.asarray(out["poses"])[:, 0]
     fd = np.asarray(out["found"])[:, 0]
     c = np.asarray(gt["center"])
@@ -217,7 +217,8 @@ def test_direct_head_top_k_two_vehicles():
     merged = np.concatenate([(1 - fg)[..., None], fg[..., None], reg], -1)
 
     dcfg = dataclasses.replace(cfg.decode, min_bbox_area=20.0)
-    out = decode_batch_direct(merged[None], imgs, spec, dcfg, 4)
+    out = decode_batch_direct(merged[None], imgs, spec, dcfg, 4,
+                              center="head")
     po = np.asarray(out["poses"])[0]
     fd = np.asarray(out["found"])[0]
     assert int(fd.sum()) == 2

@@ -551,8 +551,16 @@ def decode_frame_direct(
     spec: RangeViewSpec = RangeViewSpec(),
     cfg: DecodeConfig = DecodeConfig(),
     k: int = 1,
+    center: str = "backproject",
 ) -> dict[str, jax.Array]:
-    """Direct-head decode: top-k clusters -> averaged poses (k, 7).
+    """Direct-head decode: top-k clusters -> poses (k, 7).
+
+    center="backproject" (default) is the hybrid estimator: position from
+    the cluster's back-projected bbox-center pixel (the reference's
+    robust path — measured 0.87-within-2m vs 0.37 for the averaged head
+    center at 2k training steps), size/yaw from the averaged head
+    channels. center="head" uses the head's averaged center too — the
+    exact inverse of encode_direct_label (round-trip tested).
 
     k=1 mirrors decode_frame's largest-cluster semantics but still returns
     (1, 7)/(1,) shaped outputs; squeeze at the call site if needed."""
@@ -576,6 +584,32 @@ def decode_frame_direct(
             y_pred, image, cluster, spec, cfg
         )
         good = ok & nonempty
+        if center == "backproject":
+            ry, rx = root_id // w, root_id % w
+            bbox = jnp.stack(
+                [min_x[ry, rx] + 2, min_y[ry, rx] + 2,
+                 max_x[ry, rx] - 2, max_y[ry, rx] - 2]
+            ).astype(jnp.int32)
+            cpx = jnp.stack(
+                [
+                    ((bbox[0] + bbox[2]).astype(jnp.float32) / 2.0).astype(
+                        jnp.int32
+                    ),
+                    ((bbox[1] + bbox[3]).astype(jnp.float32) / 2.0).astype(
+                        jnp.int32
+                    ),
+                ]
+            )
+            xyz, _, bp_ok = back_project_2d_to_3d(
+                cpx, bbox, image[..., 0], image[..., 1], spec, cfg
+            )
+            yaw = pose[3]
+            c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+            ctr = jnp.stack(
+                [c * xyz[0] - s * xyz[1], s * xyz[0] + c * xyz[1], xyz[2]]
+            )
+            pose = jnp.concatenate([ctr, pose[3:]])
+            good = good & bp_ok
         return jnp.where(good, pose, 0.0), good
 
     poses, oks = jax.vmap(one)(idx, found)
@@ -587,9 +621,10 @@ def decode_frame_direct(
 
 
 def decode_batch_direct(
-    y_pred, images, spec=RangeViewSpec(), cfg=DecodeConfig(), k: int = 1
+    y_pred, images, spec=RangeViewSpec(), cfg=DecodeConfig(), k: int = 1,
+    center: str = "backproject",
 ):
     """(B, H, W, 10), (B, H, W, C) -> poses (B, k, 7), found (B, k)."""
     return jax.vmap(
-        lambda p, im: decode_frame_direct(p, im, spec, cfg, k)
+        lambda p, im: decode_frame_direct(p, im, spec, cfg, k, center)
     )(y_pred, images)

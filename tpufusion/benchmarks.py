@@ -277,10 +277,13 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
     synthetic_detector.npz, produced by tools/train_synthetic_detector
     and picked by held-out eval score) when present; otherwise ~120
     in-benchmark training steps over several distinct scene batches.
-    Returns (graphdef, state, decode_cfg) — the asset json carries the
-    decode thresholds the asset was validated at (the reference's
-    constants assume large near-object footprints; see
-    tools/train_synthetic_detector.deployment_decode)."""
+    Returns (graphdef, state, decode_cfg, head) — the asset json carries
+    the decode thresholds and the model variant (head / width / reg
+    activation) the asset was validated at (the reference's constants
+    assume large near-object footprints; see
+    tools/train_synthetic_detector.deployment_decode). `head` routes
+    make_e2e_step to the matching decode. Any failure to read or load
+    the asset falls back to in-benchmark quick training."""
     import json
     import os
 

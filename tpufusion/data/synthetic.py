@@ -94,6 +94,40 @@ def synthesize_points_batch(
     return points, gt
 
 
+def _clutter_with_clusters(
+    kclutter: jax.Array,
+    koffs: jax.Array,
+    batch: int,
+    n_points: int,
+    centers: jax.Array,  # (B, V, 3) physical cluster centers
+    sizes: jax.Array,  # (B, V, 3)
+    max_range: float,
+) -> jax.Array:
+    """Shared scene assembly: uniform clutter ring + one dense box cluster
+    per (frame, vehicle) stamped into the last V*m point slots. Returns
+    points (B, N, 4)."""
+    b, n = batch, n_points
+    v = centers.shape[1]
+    ks = jax.random.split(kclutter, 4)
+    az = jax.random.uniform(ks[0], (b, n), minval=-np.pi, maxval=np.pi)
+    rng_r = jax.random.uniform(ks[1], (b, n), minval=2.0, maxval=max_range)
+    z = jax.random.uniform(ks[2], (b, n), minval=-1.9, maxval=0.5)
+    intensity = jax.random.uniform(ks[3], (b, n), minval=0.0, maxval=100.0)
+    x = rng_r * jnp.cos(az)
+    y = rng_r * jnp.sin(az)
+
+    m = (n // 8) // v  # points per vehicle cluster
+    offs = jax.random.uniform(koffs, (b, v, m, 3), minval=-1.0, maxval=1.0)
+    half = sizes[:, :, None, :] / 2.0 * 0.95
+    vpts = centers[:, :, None, :] + offs * half  # (B, V, m, 3)
+    vflat = vpts.reshape(b, v * m, 3)
+
+    x = x.at[:, -v * m:].set(vflat[..., 0])
+    y = y.at[:, -v * m:].set(vflat[..., 1])
+    z = z.at[:, -v * m:].set(vflat[..., 2])
+    return jnp.stack([x, y, z, intensity], axis=-1).astype(jnp.float32)
+
+
 def synthesize_multi_vehicle_batch(
     key: jax.Array,
     batch: int,
@@ -107,25 +141,22 @@ def synthesize_multi_vehicle_batch(
     (B, V, 3), yaw (B, V)). Feeds the top-K decode + multi-object
     tracking paths (the reference's decode could only ever emit its
     largest cluster, predict.py:58-71)."""
-    keys = jax.random.split(key, 7)
-    b, n, v = batch, n_points, n_vehicles
-
-    az = jax.random.uniform(keys[0], (b, n), minval=-np.pi, maxval=np.pi)
-    rng_r = jax.random.uniform(keys[1], (b, n), minval=2.0, maxval=max_range)
-    z = jax.random.uniform(keys[2], (b, n), minval=-1.9, maxval=0.5)
-    intensity = jax.random.uniform(keys[3], (b, n), minval=0.0, maxval=100.0)
-    x = rng_r * jnp.cos(az)
-    y = rng_r * jnp.sin(az)
+    assert 1 <= n_vehicles <= 5, (
+        "slot spacing 2*pi/v with +-0.3 jitter keeps clusters disjoint "
+        f"only for v <= 5 (got {n_vehicles})"
+    )
+    keys = jax.random.split(key, 4)
+    b, v = batch, n_vehicles
 
     # vehicle angular slots: evenly spaced base angles + small jitter keep
     # every pair >= ~0.7 rad apart after the per-frame random rotation
     base = jnp.linspace(0.0, 2.0 * np.pi, v, endpoint=False)
     frame_rot = jax.random.uniform(
-        keys[4], (b, 1), minval=-np.pi, maxval=np.pi
+        keys[0], (b, 1), minval=-np.pi, maxval=np.pi
     )
-    jitter = jax.random.uniform(keys[5], (b, v), minval=-0.3, maxval=0.3)
+    jitter = jax.random.uniform(keys[1], (b, v), minval=-0.3, maxval=0.3)
     angle = base[None, :] + frame_rot + jitter
-    dist = jax.random.uniform(keys[6], (b, v), minval=8.0, maxval=30.0)
+    dist = jax.random.uniform(keys[2], (b, v), minval=8.0, maxval=30.0)
     center = jnp.stack(
         [dist * jnp.cos(angle), dist * jnp.sin(angle),
          jnp.full((b, v), -0.7)], axis=-1,
@@ -133,19 +164,10 @@ def synthesize_multi_vehicle_batch(
     yaw = jnp.zeros((b, v))  # keep clusters axis-aligned at their spot
     size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (b, v, 3))
 
-    m = (n // 8) // v  # points per vehicle cluster
-    offs = jax.random.uniform(
-        jax.random.fold_in(key, 99), (b, v, m, 3), minval=-1.0, maxval=1.0
+    points = _clutter_with_clusters(
+        keys[3], jax.random.fold_in(key, 99), b, n_points, center, size,
+        max_range,
     )
-    half = size[:, :, None, :] / 2.0 * 0.95
-    vpts = center[:, :, None, :] + offs * half  # (B, V, m, 3)
-    vflat = vpts.reshape(b, v * m, 3)
-
-    x = x.at[:, -v * m:].set(vflat[..., 0])
-    y = y.at[:, -v * m:].set(vflat[..., 1])
-    z = z.at[:, -v * m:].set(vflat[..., 2])
-
-    points = jnp.stack([x, y, z, intensity], axis=-1).astype(jnp.float32)
     return points, {"center": center, "size": size, "yaw": yaw}
 
 
@@ -158,8 +180,8 @@ def synthesize_tracking_sequence(
     max_range: float = 60.0,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Temporal sequence for multi-object tracking: V vehicles follow
-    constant-velocity paths (|v| <= 2 m/s) while background clutter is
-    resampled every frame. Returns (points (F, N, 4), gt with center
+    constant-velocity paths (per-axis speed <= 2 m/s, so planar speed up
+    to 2*sqrt(2)) while background clutter is resampled every frame. Returns (points (F, N, 4), gt with center
     (F, V, 3), size (F, V, 3), yaw (F, V)). This is what BASELINE
     config 5's "multi-frame temporal tracking" actually needs — frames
     that are a coherent sequence, not independent scenes."""
@@ -175,25 +197,12 @@ def synthesize_tracking_sequence(
     centers = c0[None] + vel[None] * t  # (F, V, 3)
 
     # per-frame clutter + clusters at the advanced centers
-    keys = jax.random.split(kframe, 5)
-    b, n = f, n_points
-    az = jax.random.uniform(keys[0], (b, n), minval=-np.pi, maxval=np.pi)
-    rng_r = jax.random.uniform(keys[1], (b, n), minval=2.0, maxval=max_range)
-    z = jax.random.uniform(keys[2], (b, n), minval=-1.9, maxval=0.5)
-    intensity = jax.random.uniform(keys[3], (b, n), minval=0.0, maxval=100.0)
-    x = rng_r * jnp.cos(az)
-    y = rng_r * jnp.sin(az)
-
+    k1, k2 = jax.random.split(kframe)
+    b = f
     size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (b, v, 3))
-    m = (n // 8) // v
-    offs = jax.random.uniform(keys[4], (b, v, m, 3), minval=-1.0, maxval=1.0)
-    vpts = centers[:, :, None, :] + offs * (size[:, :, None, :] / 2.0 * 0.95)
-    vflat = vpts.reshape(b, v * m, 3)
-    x = x.at[:, -v * m:].set(vflat[..., 0])
-    y = y.at[:, -v * m:].set(vflat[..., 1])
-    z = z.at[:, -v * m:].set(vflat[..., 2])
-
-    points = jnp.stack([x, y, z, intensity], axis=-1).astype(jnp.float32)
+    points = _clutter_with_clusters(
+        k1, k2, b, n_points, centers, size, max_range
+    )
     return points, {"center": centers, "size": size, "yaw": jnp.zeros((b, v))}
 
 

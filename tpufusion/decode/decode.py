@@ -113,21 +113,15 @@ def find_obstacle(
     )
 
 
-def find_obstacles_topk(
-    prob_map: jax.Array,  # (H, W) foreground probability
-    cfg: DecodeConfig = DecodeConfig(),
-    k: int = 4,
-):
-    """Top-K clusters by bbox area — the multi-obstacle extension the
-    reference never had (its `find_obstacle` keeps only the largest
-    cluster, predict.py:58-71). Returns (centroids (K, 2) int32 [x, y],
-    bboxes (K, 4) int32 [l, t, r, b], areas (K,) float32, found (K,)),
-    ordered by descending area; ties keep scipy scan order (smaller root
-    label first, matching find_obstacle's tie-break)."""
-    h, w = prob_map.shape
-    mask, labels, min_x, max_x, min_y, max_y = _heat_components(
-        prob_map, cfg
-    )
+def _topk_roots(mask, labels, min_x, max_x, min_y, max_y, cfg, k):
+    """Top-k cluster roots by bbox area over _heat_components output.
+    Returns (root_idx (k,) flat int32, found (k,), bboxes (k, 4)
+    [l, t, r, b] shrunk by 2, centroids (k, 2) [x, y], areas (k,)).
+    Ties keep scipy scan order (top_k is stable, so equal areas resolve
+    to the smaller flat index = the smaller root label) — the single
+    definition of the selection/shrink/centroid semantics shared by the
+    corner (find_obstacles_topk) and direct (decode_frame_direct) paths."""
+    h, w = mask.shape
     flat_ids = (
         jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
         + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -136,8 +130,6 @@ def find_obstacles_topk(
     is_root = mask & (labels == flat_ids)
     area = (max_x - min_x) * (max_y - min_y)
     score = jnp.where(is_root, area, -1)
-    # top_k is stable: area ties resolve to the smaller flat index = the
-    # smaller root label
     areas, idx = jax.lax.top_k(score.ravel(), k)
     wy, wx = idx // w, idx % w
 
@@ -161,6 +153,26 @@ def find_obstacles_topk(
             ),
         ],
         axis=-1,
+    )
+    return idx, found, bboxes, centroids, areas
+
+
+def find_obstacles_topk(
+    prob_map: jax.Array,  # (H, W) foreground probability
+    cfg: DecodeConfig = DecodeConfig(),
+    k: int = 4,
+):
+    """Top-K clusters by bbox area — the multi-obstacle extension the
+    reference never had (its `find_obstacle` keeps only the largest
+    cluster, predict.py:58-71). Returns (centroids (K, 2) int32 [x, y],
+    bboxes (K, 4) int32 [l, t, r, b], areas (K,) float32, found (K,)),
+    ordered by descending area; ties keep scipy scan order (smaller root
+    label first, matching find_obstacle's tie-break)."""
+    mask, labels, min_x, max_x, min_y, max_y = _heat_components(
+        prob_map, cfg
+    )
+    _, found, bboxes, centroids, areas = _topk_roots(
+        mask, labels, min_x, max_x, min_y, max_y, cfg, k
     )
     fm = found[:, None]
     return (
@@ -509,9 +521,12 @@ def _direct_pose_from_cluster(
     cluster: jax.Array,  # (H, W) bool — pixels of one cluster
     spec: RangeViewSpec,
     cfg: DecodeConfig,
+    with_center: bool = True,
 ):
     """Weighted average of decoded per-pixel poses over cluster pixels with
-    valid returns. Returns (pose (7,), ok bool)."""
+    valid returns. Returns (pose (7,), ok bool). with_center=False skips
+    the per-pixel center einsum (pose[:3] is zeros) — used by the hybrid
+    decode, whose position comes from back-projection instead."""
     from tpufusion.geometry.encoding import pixel_points, pixel_rotations
 
     valid = (image[..., 0] > 0) & (image[..., 1] > spec.min_height)
@@ -519,27 +534,30 @@ def _direct_pose_from_cluster(
     w = jnp.where(m, y_pred[..., 1], 0.0)
     tot = jnp.maximum(jnp.sum(w), 1e-6)
 
-    p = pixel_points(image, spec)  # (H, W, 3)
-    rot = pixel_rotations(spec)  # (H, W, 3, 3)
-    dc = y_pred[..., 2:5]
-    c_phys_px = (
-        jnp.einsum("hwij,hwj->hwi", rot, dc, precision="highest") + p
-    )  # per-pixel decoded physical center
-    c_phys = jnp.sum(c_phys_px * w[..., None], axis=(0, 1)) / tot
     lwh = jnp.sum(y_pred[..., 5:8] * w[..., None], axis=(0, 1)) / tot
     sin_m = jnp.sum(y_pred[..., 8] * w) / tot
     cos_m = jnp.sum(y_pred[..., 9] * w) / tot
     yaw = jnp.arctan2(sin_m, cos_m)
 
-    # back to the reference's conventional frame: center = Rz(-yaw) c_phys
-    c, s = jnp.cos(-yaw), jnp.sin(-yaw)
-    center = jnp.stack(
-        [
-            c * c_phys[0] - s * c_phys[1],
-            s * c_phys[0] + c * c_phys[1],
-            c_phys[2],
-        ]
-    )
+    if with_center:
+        p = pixel_points(image, spec)  # (H, W, 3)
+        rot = pixel_rotations(spec)  # (H, W, 3, 3)
+        dc = y_pred[..., 2:5]
+        c_phys_px = (
+            jnp.einsum("hwij,hwj->hwi", rot, dc, precision="highest") + p
+        )  # per-pixel decoded physical center
+        c_phys = jnp.sum(c_phys_px * w[..., None], axis=(0, 1)) / tot
+        # back to the reference's conventional frame: Rz(-yaw) c_phys
+        c, s = jnp.cos(-yaw), jnp.sin(-yaw)
+        center = jnp.stack(
+            [
+                c * c_phys[0] - s * c_phys[1],
+                s * c_phys[0] + c * c_phys[1],
+                c_phys[2],
+            ]
+        )
+    else:
+        center = jnp.zeros(3, jnp.float32)
     pose = jnp.concatenate([center, yaw[None], lwh])
     ok = jnp.sum(m) > 0
     return jnp.where(ok, pose, 0.0), ok
@@ -566,40 +584,18 @@ def decode_frame_direct(
     (1, 7)/(1,) shaped outputs; squeeze at the call site if needed."""
     prob = y_pred[..., 1]
     mask, labels, min_x, max_x, min_y, max_y = _heat_components(prob, cfg)
-
-    h, w = prob.shape
-    flat_ids = (
-        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
-        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    idx, found, bboxes, centroids, areas = _topk_roots(
+        mask, labels, min_x, max_x, min_y, max_y, cfg, k
     )
-    is_root = mask & (labels == flat_ids)
-    area = (max_x - min_x) * (max_y - min_y)
-    score = jnp.where(is_root, area, -1)
-    areas, idx = jax.lax.top_k(score.ravel(), k)
-    found = areas > cfg.min_bbox_area
 
-    def one(root_id, ok):
+    def one(root_id, ok, bbox, cpx):
         cluster = mask & (labels == root_id)
         pose, nonempty = _direct_pose_from_cluster(
-            y_pred, image, cluster, spec, cfg
+            y_pred, image, cluster, spec, cfg,
+            with_center=center == "head",
         )
         good = ok & nonempty
         if center == "backproject":
-            ry, rx = root_id // w, root_id % w
-            bbox = jnp.stack(
-                [min_x[ry, rx] + 2, min_y[ry, rx] + 2,
-                 max_x[ry, rx] - 2, max_y[ry, rx] - 2]
-            ).astype(jnp.int32)
-            cpx = jnp.stack(
-                [
-                    ((bbox[0] + bbox[2]).astype(jnp.float32) / 2.0).astype(
-                        jnp.int32
-                    ),
-                    ((bbox[1] + bbox[3]).astype(jnp.float32) / 2.0).astype(
-                        jnp.int32
-                    ),
-                ]
-            )
             xyz, _, bp_ok = back_project_2d_to_3d(
                 cpx, bbox, image[..., 0], image[..., 1], spec, cfg
             )
@@ -612,7 +608,7 @@ def decode_frame_direct(
             good = good & bp_ok
         return jnp.where(good, pose, 0.0), good
 
-    poses, oks = jax.vmap(one)(idx, found)
+    poses, oks = jax.vmap(one)(idx, found, bboxes, centroids)
     return {
         "poses": poses,
         "found": oks,

@@ -56,11 +56,15 @@ def weighted_pose_loss(
         if cfg.reg_target_norm_clip is not None:
             # supervise only pixels whose target is well-defined (surface
             # pixels); rect pixels hitting distant clutter carry huge
-            # targets — see LossConfig.reg_target_norm_clip
+            # targets — see LossConfig.reg_target_norm_clip. Zero their
+            # diffs too, so the reference_compat batch-scalar norm below
+            # cannot reintroduce them.
             tnorm = jnp.sqrt(
                 jnp.sum(y_true[..., 2:] ** 2, axis=-1, keepdims=True)
             )
-            w2r = w2 * (tnorm <= cfg.reg_target_norm_clip)
+            keep = tnorm <= cfg.reg_target_norm_clip
+            w2r = w2 * keep
+            diff = diff * keep
         if cfg.reference_compat:
             # scalar Frobenius norm over the whole batch (reference quirk)
             norm = jnp.sqrt(jnp.sum(diff * diff))

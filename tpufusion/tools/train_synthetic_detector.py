@@ -125,7 +125,8 @@ def main(argv=None):
     ap.add_argument("--head", default="direct")
     # varied sizes force the direct head to MEASURE the cluster; the
     # held-out eval keeps the challenge's fixed vehicle
-    ap.add_argument("--vary_size", action="store_true", default=True)
+    ap.add_argument("--vary_size", action=argparse.BooleanOptionalAction,
+                    default=True)
     args = ap.parse_args(argv)
 
     cfg = DEFAULT

@@ -413,3 +413,39 @@ def test_reg_target_norm_clip_masks_clutter_pixels():
                                         jnp.asarray(y_true_nop1),
                                         LossConfig(**base)))
     np.testing.assert_allclose(l_clip, l_manual, rtol=1e-6)
+
+
+def test_trainer_direct_head_plumbed(tmp_path):
+    """ModelConfig.head='direct' through the main Trainer entry point:
+    the train step encodes 8-channel direct-pose targets against the
+    10-channel output (previously only tools/train_synthetic_detector
+    passed head explicitly — ADVICE r2), and eval_step matches."""
+    import dataclasses
+
+    from tpufusion.config import PipelineConfig
+    from tpufusion.train.trainer import Trainer
+
+    cfg = PipelineConfig(
+        range_view=SMALL_SPEC,
+        model=ModelConfig(head="direct", reg_output_activation="linear"),
+        train=TrainConfig(batch_size=4, augment=False),
+    )
+    trainer = Trainer(cfg, outdir=str(tmp_path / "run"))
+    data = synthesize_dataset(seed=1, num_frames=4, n_points=2048)
+    batch = {
+        "points": jnp.asarray(data["points"]),
+        "center": jnp.asarray(data["center"]),
+        "size": jnp.asarray(data["size"]),
+        "yaw": jnp.asarray(data["yaw"]),
+    }
+    loss, metrics = trainer.train_step(
+        trainer.model, trainer.optimizer, batch, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+    eloss, _ = trainer.eval_step(trainer.model, batch)
+    assert np.isfinite(float(eloss))
+    with pytest.raises(ValueError, match="head"):
+        Trainer(
+            cfg.replace(model=ModelConfig(head="nope")),
+            outdir=str(tmp_path / "run2"),
+        )

@@ -292,24 +292,27 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
         "assets", "synthetic_detector.npz",
     )
     if os.path.exists(asset):
-        from tpufusion.models.io import load_state_npz
-
-        dcfg, mcfg = CFG.decode, {}
+        # One guard around the WHOLE asset path (json parse, FCN build,
+        # weight load): a readable-but-corrupt json would otherwise leave
+        # mcfg={} and build a default-architecture FCN that silently
+        # mismatches the shipped npz (nnx assignment doesn't shape-check).
         try:
+            from tpufusion.models.io import load_state_npz
+
             with open(asset + ".json") as f:
                 meta = json.load(f)
             dcfg = dataclasses.replace(CFG.decode, **meta.get("decode", {}))
             mcfg = meta.get("model", {})
-        except (OSError, KeyError, TypeError):
-            pass
-        model = FCN(
-            dataclasses.replace(CFG.model, dtype="bfloat16", **mcfg),
-            in_channels=3, rngs=nnx.Rngs(0),
-        )
-        load_state_npz(asset, model)
-        log(f"loaded detector asset {asset}")
-        gd, st = nnx.split(model)
-        return gd, st, dcfg, mcfg.get("head", "corner")
+            model = FCN(
+                dataclasses.replace(CFG.model, dtype="bfloat16", **mcfg),
+                in_channels=3, rngs=nnx.Rngs(0),
+            )
+            load_state_npz(asset, model)
+            log(f"loaded detector asset {asset}")
+            gd, st = nnx.split(model)
+            return gd, st, dcfg, mcfg.get("head", "corner")
+        except Exception as e:  # noqa: BLE001 — fall back to quick training
+            log(f"detector asset unusable ({e!r}); quick-training instead")
 
     import optax
 

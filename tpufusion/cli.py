@@ -115,10 +115,20 @@ def _cmd_train(args):
     )
     in_channels = 3
     if args.source == "camera":
+        # camera labels are precomputed classification footprints; the
+        # regression head (either family) is off, so --head is ignored
         cfg = cfg.replace(
             model=ModelConfig(vertical_stride=2, use_regression=False)
         )
         in_channels = 1
+    elif args.head != "corner":
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, head=args.head,
+                reg_output_activation="linear",
+            ),
+            train=dataclasses.replace(cfg.train, augment=False),
+        )
     trainer = Trainer(cfg, outdir=args.outdir, in_channels=in_channels)
     if args.resume:
         trainer.resume()
@@ -143,11 +153,17 @@ def _cmd_predict(args):
     from tpufusion.predict import predict_dataset_dir
     from tpufusion.train.checkpoint import CheckpointManager
 
-    model = FCN(DEFAULT.model, in_channels=3, rngs=nnx.Rngs(0))
+    import dataclasses
+
+    cfg = DEFAULT
+    if args.head != "corner":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, head=args.head, reg_output_activation="linear"))
+    model = FCN(cfg.model, in_channels=3, rngs=nnx.Rngs(0))
     if args.checkpoint:
         CheckpointManager(args.checkpoint).restore(model)
     report = predict_dataset_dir(
-        model, args.dataset, args.output_dir, batch=args.batch_size
+        model, args.dataset, args.output_dir, cfg, batch=args.batch_size
     )
     print(json.dumps(report))
 
@@ -259,6 +275,10 @@ def main(argv=None):
     t.add_argument("--resume", action="store_true")
     t.add_argument("--source", choices=("lidar", "camera"), default="lidar",
                    help="training data source (train.py:109-122)")
+    t.add_argument("--head", choices=("corner", "direct"), default="corner",
+                   help="regression head family: corner = reference parity "
+                        "(encoder.py:156-238); direct = the framework's "
+                        "8-channel pose head (linear output, no roll aug)")
     t.add_argument("--camera_yaml", default=None,
                    help="camera intrinsics YAML (camera source)")
     t.add_argument("--extrinsic_yaml", default=None,
@@ -272,6 +292,8 @@ def main(argv=None):
     pr.add_argument("--checkpoint", default=None)
     pr.add_argument("--output_dir", default="./predictions")
     pr.add_argument("--batch_size", type=int, default=32)
+    pr.add_argument("--head", choices=("corner", "direct"), default="corner",
+                   help="must match the head the checkpoint was trained with")
     pr.set_defaults(fn=_cmd_predict)
 
     sb = sub.add_parser("submit", help="pose CSV -> tracklet XML")

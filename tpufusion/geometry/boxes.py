@@ -13,11 +13,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpufusion.config import RangeViewSpec
 
-# corner template signs in (l, w, h) halves; order matches encoder.py:52-59
-_CORNER_SIGNS = jnp.array(
+# corner template signs in (l, w, h) halves; order matches encoder.py:52-59.
+# A NUMPY constant on purpose: a module-level device array would be captured
+# as an on-device constant by every jit trace, forcing a D2H fetch during
+# lowering (a hang-prone path on the axon relay).
+_CORNER_SIGNS = np.array(
     [
         [-1, +1, +1],
         [-1, +1, -1],
@@ -28,7 +32,7 @@ _CORNER_SIGNS = jnp.array(
         [+1, -1, +1],
         [+1, -1, -1],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 

@@ -65,12 +65,21 @@ def weighted_pose_loss(
             keep = tnorm <= cfg.reg_target_norm_clip
             w2r = w2 * keep
             diff = diff * keep
+        # Gradient-safe L2: sqrt has an infinite gradient at exactly 0, and
+        # pixels with an exactly-zero diff (e.g. relu head emitting 0 on
+        # zero-target background) turn `0-weight * inf-grad` into NaN.
+        # Substituting 1 under the sqrt where the sum is 0 keeps the forward
+        # value identical and makes the subgradient 0 there.
+        def _safe_norm(sq):
+            nonzero = sq > 0
+            return jnp.sqrt(jnp.where(nonzero, sq, 1.0)) * nonzero
+
         if cfg.reference_compat:
             # scalar Frobenius norm over the whole batch (reference quirk)
-            norm = jnp.sqrt(jnp.sum(diff * diff))
+            norm = _safe_norm(jnp.sum(diff * diff))
             reg_loss = jnp.sum(w2r * norm, axis=-1)  # (B, P)
         else:
-            norm = jnp.sqrt(jnp.sum(diff * diff, axis=-1, keepdims=True))
+            norm = _safe_norm(jnp.sum(diff * diff, axis=-1, keepdims=True))
             reg_loss = jnp.sum(w2r * norm, axis=-1)
         loss = loss + cfg.weight_bb * reg_loss
 

@@ -112,9 +112,10 @@ def _run_propagate(
     st0: jax.Array, mask: jax.Array, max_iters: int, impl: str
 ) -> jax.Array:
     if impl == "auto":
-        # trace-time heuristic: the Mosaic kernel on real TPU, the sweep
-        # formulation on CPU (where the kernel would run interpreted)
-        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+        # trace-time heuristic: the Mosaic kernel ONLY on real TPU (it
+        # uses pltpu.roll / pltpu.CompilerParams, unsupported elsewhere);
+        # the sweep formulation on CPU/GPU/any other backend.
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from tpufusion.ops.pallas_cc import propagate_pallas
 

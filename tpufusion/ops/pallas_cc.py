@@ -109,7 +109,7 @@ def propagate_pallas(
     True off-TPU so the CPU test mesh can run the kernel.
     """
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
         functools.partial(_propagate_kernel, max_iters=max_iters),
         out_shape=jax.ShapeDtypeStruct(st0.shape, jnp.int32),

@@ -69,14 +69,21 @@ def predict_images(
     cfg: PipelineConfig = DEFAULT,
     batch: int = 32,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Returns (poses (F, 7), found (F,))."""
+    """Returns (poses (F, 7), found (F,)). The decode family follows
+    cfg.model.head so a direct-head checkpoint decodes its 8-channel
+    pose field instead of the corner vote."""
+    from tpufusion.decode.decode import decode_batch_direct
+
     graphdef, state = nnx.split(model)
-    spec, dcfg = cfg.range_view, cfg.decode
+    spec, dcfg, head = cfg.range_view, cfg.decode, cfg.model.head
 
     @jax.jit
     def step(state, imgs):
         mdl = nnx.merge(graphdef, state)
         preds = mdl(imgs, train=False)
+        if head == "direct":
+            out = decode_batch_direct(preds, imgs, spec, dcfg, 1)
+            return out["poses"][:, 0], out["found"][:, 0]
         out = decode_batch(preds, imgs, spec, dcfg)
         return out["pose"], out["found"]
 

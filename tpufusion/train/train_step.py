@@ -96,12 +96,19 @@ def make_eval_step(
     spec: RangeViewSpec,
     loss_cfg: LossConfig,
     use_regression: bool = True,
+    head: str = "corner",
 ):
     @nnx.jit
     def eval_step(model, batch):
         images = _batch_images(batch, spec)
         if "labels" in batch:
             labels = batch["labels"]
+        elif head == "direct":
+            from tpufusion.geometry.encoding import encode_direct_label_batch
+
+            labels = encode_direct_label_batch(
+                batch["center"], batch["size"], batch["yaw"], images, spec
+            )
         else:
             labels = encode_label_batch(
                 batch["center"], batch["size"], batch["yaw"], images, spec

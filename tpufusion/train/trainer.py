@@ -95,11 +95,15 @@ class Trainer:
         if cfg.train.grad_accum_steps > 1:
             tx = optax.MultiSteps(tx, cfg.train.grad_accum_steps)
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
+        if cfg.model.head not in ("corner", "direct"):
+            raise ValueError(f"unknown model head {cfg.model.head!r}")
         self.train_step = make_train_step(
-            cfg.range_view, cfg.loss, cfg.train, cfg.model.use_regression
+            cfg.range_view, cfg.loss, cfg.train, cfg.model.use_regression,
+            head=cfg.model.head,
         )
         self.eval_step = make_eval_step(
-            cfg.range_view, cfg.loss, cfg.model.use_regression
+            cfg.range_view, cfg.loss, cfg.model.use_regression,
+            head=cfg.model.head,
         )
         self.history = MetricHistory()
         self.ckpt = CheckpointManager(

@@ -32,13 +32,13 @@ import numpy as np
 from flax import nnx
 
 from tpufusion.config import DEFAULT
-from tpufusion.data.synthetic import synthesize_points_batch
+from tpufusion.data.synthetic import synthesize_beam_scan_batch
 from tpufusion.decode.decode import decode_batch
 from tpufusion.geometry.range_view import range_view_project_batch
 from tpufusion.models.fcn import FCN
 
 BATCH = 64
-N_POINTS = 32768  # ~HDL-32E revolution
+N_POINTS = 32768  # 32 beams x 1024 azimuth steps, ~HDL-32E revolution
 NSETS = 24
 REPS = 1  # distinct batch every dispatch — the relay caches identical calls
 TARGET_FPS = 500.0
@@ -69,13 +69,19 @@ def main():
     e2e = make_e2e(cfg.projection_method)
 
     log(f"devices: {jax.devices()}")
-    synth = jax.jit(lambda k: synthesize_points_batch(k, BATCH, N_POINTS)[0])
+    # beam-structured Velodyne scans (32 discrete beams, occlusion
+    # shadows, range-dependent dropout): the realistic distribution every
+    # headline number is measured on since round 3. Invalid (no-return)
+    # rays ride the projector's padding mask.
+    synth = jax.jit(
+        lambda k: synthesize_beam_scan_batch(k, BATCH, N_POINTS)[::2]
+    )
     batches = [synth(jax.random.PRNGKey(i)) for i in range(NSETS)]
     for b in batches:
         force(b)
 
     t0 = time.perf_counter()
-    out = e2e(state, batches[0])
+    out = e2e(state, *batches[0])
     force(out)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
@@ -83,8 +89,8 @@ def main():
     t0 = time.perf_counter()
     n = 0
     for _ in range(REPS):
-        for b in batches:
-            out = e2e(state, b)
+        for b, v in batches:
+            out = e2e(state, b, v)
             n += 1
     _ = np.asarray(out[0].ravel()[0])
     dt = (time.perf_counter() - t0) / n
@@ -105,7 +111,9 @@ def main():
         in_channels=3, rngs=nnx.Rngs(0),
     )
     topt = nnx.Optimizer(tmodel, optax.adam(3e-3), wrt=nnx.Param)
-    tpts, tgt = synthesize_points_batch(jax.random.PRNGKey(42), 32, N_POINTS)
+    tpts, tgt, tvalid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(42), 32, N_POINTS
+    )
     stats_ = population_weights(
         np.asarray(tgt["center"]), np.asarray(tgt["size"]),
         np.asarray(tgt["yaw"]), spec,
@@ -118,42 +126,46 @@ def main():
         ),
         TrainConfig(batch_size=32, augment=False),
     )
-    tbatch = {"points": tpts, "center": tgt["center"],
+    tbatch = {"points": tpts, "valid": tvalid, "center": tgt["center"],
               "size": tgt["size"], "yaw": tgt["yaw"]}
     key = jax.random.PRNGKey(0)
     for _ in range(40):
         key, sub = jax.random.split(key)
         tstep(tmodel, topt, tbatch, sub)
     _, tstate = nnx.split(tmodel)
-    pl, fl = e2e(tstate, batches[0])
+    pl, fl = e2e(tstate, *batches[0])
     det = int(np.asarray(fl).sum())
     t0 = time.perf_counter()
-    for b in batches:
-        out_l = e2e(tstate, b)
+    for b, v in batches:
+        out_l = e2e(tstate, b, v)
     _ = np.asarray(out_l[0].ravel()[0])
     live_fps = BATCH * NSETS / (time.perf_counter() - t0)
     log(f"with live detections ({det}/{BATCH} frames): {live_fps:.1f} frames/s")
 
     # supplementary: throughput with the quantized-winner projection
     fast = make_e2e("packed")
-    out_f = fast(state, batches[0])
+    out_f = fast(state, *batches[0])
     force(out_f)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        for b in batches:
-            out_f = fast(state, b)
+        for b, v in batches:
+            out_f = fast(state, b, v)
     _ = np.asarray(out_f[0].ravel()[0])
     fast_fps = BATCH * REPS * NSETS / (time.perf_counter() - t0)
     log(f"packed-projection mode: {fast_fps:.1f} frames/s")
 
     # latency: single-frame path, per-call readback (includes host rtt)
-    ones = [batches[i][i % BATCH : i % BATCH + 1] for i in range(13)]
-    out1 = e2e(state, ones[12])  # warm on a slice the loop never reuses
+    ones = [
+        (batches[i][0][i % BATCH : i % BATCH + 1],
+         batches[i][1][i % BATCH : i % BATCH + 1])
+        for i in range(13)
+    ]
+    out1 = e2e(state, *ones[12])  # warm on a slice the loop never reuses
     force(out1)
     lats = []
     for i in range(12):
         t0 = time.perf_counter()
-        o = e2e(state, ones[i])
+        o = e2e(state, *ones[i])
         _ = np.asarray(o[0].ravel()[0])
         lats.append(time.perf_counter() - t0)
     p50 = float(np.percentile(lats, 50) * 1e3)

@@ -137,3 +137,78 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     poses, found = out
     assert poses.shape == (4, 7)
+
+
+def test_sharded_e2e_inference_matches_single_device():
+    """The fused inference graph (projection + FCN + decode with its
+    top_k/argmin/CC fixed-point ops) batch-sharded over the data axis and
+    width-constrained over spatial: poses must match unsharded execution
+    (VERDICT r2 #3 — this graph had never been compiled under a mesh)."""
+    from tpufusion.config import DecodeConfig
+    from tpufusion.decode.decode import decode_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+    from tpufusion.parallel.mesh import constrain_spatial
+
+    mesh = make_mesh(MeshConfig(n_devices=8, n_spatial=2))
+    model, _ = _setup()
+    graphdef, state = nnx.split(model)
+    dcfg = DecodeConfig()
+    # scenes with vehicles near enough that some frames decode a pose
+    points, _ = synthesize_points_batch(jax.random.PRNGKey(3), 16, 2048)
+    pts_host = np.asarray(points)
+
+    def e2e(state, pts, use_mesh):
+        mdl = nnx.merge(graphdef, state)
+        images = range_view_project_batch(pts, SPEC)
+        if use_mesh:
+            images = constrain_spatial(images, mesh)
+        preds = mdl(images, train=False)
+        out = decode_batch(preds, images, SPEC, dcfg)
+        return out["pose"], out["found"]
+
+    ref_pose, ref_found = jax.jit(lambda s, p: e2e(s, p, False))(
+        state, jax.device_put(pts_host)
+    )
+    sh = batch_sharding(mesh)
+    with mesh:
+        got_pose, got_found = jax.jit(lambda s, p: e2e(s, p, True))(
+            replicate(state, mesh), jax.device_put(pts_host, sh)
+        )
+    np.testing.assert_array_equal(np.asarray(ref_found), np.asarray(got_found))
+    np.testing.assert_allclose(
+        np.asarray(ref_pose), np.asarray(got_pose), atol=1e-4
+    )
+
+
+@pytest.mark.slow
+def test_spatial_partition_full_width_train_step():
+    """dp x sp at the REAL production geometry (32 x 1801): the spatial
+    axis partitions the actual 1801-wide range image (with the conv halo
+    exchanges at real shard sizes), not a shrunken stand-in. CPU-mesh, so
+    just one step + finite loss + parity with single-device."""
+    full_spec = RangeViewSpec()  # 32 x 1801
+    assert full_spec.width == 1801
+    mesh = make_mesh(MeshConfig(n_devices=8, n_spatial=2))
+    batch_np = _batch(n=8, pts=4096)
+    cfg = TrainConfig(batch_size=8, augment=False)
+    key = jax.random.PRNGKey(2)
+
+    m1, o1 = _setup()
+    step1 = make_train_step(full_spec, LossConfig(), cfg)
+    loss1, _ = step1(m1, o1, jax.device_put(batch_np), key)
+
+    m2, o2 = _setup()
+    for mod in (m2, o2):
+        nnx.update(mod, replicate(nnx.state(mod), mesh))
+    step2 = make_train_step(full_spec, LossConfig(), cfg, mesh=mesh)
+    sh = batch_sharding(mesh)
+    batch_sharded = {k: jax.device_put(v, sh) for k, v in batch_np.items()}
+    with mesh:
+        loss2, _ = step2(m2, o2, batch_sharded, key)
+
+    assert np.isfinite(float(loss2))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    p1 = jax.tree.leaves(nnx.state(m1, nnx.Param))
+    p2 = jax.tree.leaves(nnx.state(m2, nnx.Param))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -26,7 +26,7 @@ import numpy as np
 from flax import nnx
 
 from tpufusion.config import DEFAULT, BevSpec
-from tpufusion.data.synthetic import synthesize_points_batch
+from tpufusion.data.synthetic import synthesize_beam_scan_batch
 from tpufusion.decode.decode import decode_batch
 from tpufusion.geometry.bev import bev_rasterize_batch
 from tpufusion.geometry.range_view import range_view_project_batch
@@ -47,9 +47,16 @@ def _model():
     return nnx.split(model)
 
 
-def _point_sets(n_sets, batch, n_points):
+def _point_sets(n_sets, batch, n_points, n_beams=32):
+    """Beam-structured Velodyne scan batches: [(points, valid), ...].
+
+    Since round 3 every timed config runs on the beam-structured
+    distribution (discrete beams, occlusion shadows, range-dependent
+    dropout) — the uniform generator stays for geometry tests only."""
     synth = jax.jit(
-        lambda k: synthesize_points_batch(k, batch, n_points)[0]
+        lambda k: synthesize_beam_scan_batch(
+            k, batch, n_points, n_beams=n_beams
+        )[::2]
     )
     sets = [synth(jax.random.PRNGKey(i)) for i in range(n_sets)]
     for s in sets:
@@ -62,14 +69,14 @@ def config1_single_frame() -> dict:
     graphdef, state = _model()
 
     @jax.jit
-    def fn(state, points):
-        images = range_view_project_batch(points, SPEC)
-        bev = bev_rasterize_batch(points, CFG.bev)
+    def fn(state, points, valid):
+        images = range_view_project_batch(points, SPEC, valid)
+        bev = bev_rasterize_batch(points, CFG.bev, valid)
         preds = nnx.merge(graphdef, state)(images, train=False)
         return preds, bev
 
     sets = _point_sets(6, 1, 32768)
-    dt = measure(fn, [(state, p) for p in sets], reps=3)
+    dt = measure(fn, [(state, p, v) for p, v in sets], reps=3)
     return {
         "config": 1,
         "metric": "single-frame BEV+range+FCN forward",
@@ -88,7 +95,7 @@ def config2_replay() -> dict:
     fn = make_e2e_step(graphdef, SPEC, CFG.decode)
 
     sets = _point_sets(6, 64, 32768)
-    dt = measure(fn, [(state, p) for p in sets], reps=2)
+    dt = measure(fn, [(state, p, v) for p, v in sets], reps=2)
     return {
         "config": 2,
         "metric": "64-frame replay projection+FCN+decode",
@@ -212,12 +219,12 @@ def config4_full_eval() -> dict:
     for i in range(frames // batch):
         # max_yaw ~ 0: with the reference's orbit-origin corner
         # convention, large yaw makes the pose target unobservable for
-        # axis-aligned clusters (data/synthetic.synthesize_points_batch)
-        pts, gt = synthesize_points_batch(
+        # axis-aligned clusters (NOTES.md round-2 session 3)
+        pts, gt, vmask = synthesize_beam_scan_batch(
             jax.random.PRNGKey(1000 + i), batch, 32768, max_yaw=0.05
         )
         force(pts)
-        sets.append(pts)
+        sets.append((pts, vmask))
         truths.append(
             np.concatenate(
                 [
@@ -229,12 +236,12 @@ def config4_full_eval() -> dict:
             )
         )
     truth = np.concatenate(truths)  # (F, 7) tx ty tz rz l w h
-    r = fn(state, sets[0])
+    r = fn(state, *sets[0])
     force(r)
     t0 = time.perf_counter()
     poses = []
     for s in sets:
-        p, fd = fn(state, s)
+        p, fd = fn(state, *s)
         poses.append(np.asarray(p))
     poses = np.concatenate(poses)
     ts = (np.arange(frames) * 100_000_000 + 1).tolist()
@@ -325,7 +332,9 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
         in_channels=3, rngs=nnx.Rngs(0),
     )
     opt = nnx.Optimizer(model, optax.adam(3e-3), wrt=nnx.Param)
-    pts, gt = synthesize_points_batch(jax.random.PRNGKey(42), 32, n_points)
+    pts, gt, _v = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(42), 32, n_points
+    )
     stats = population_weights(
         np.asarray(gt["center"]), np.asarray(gt["size"]),
         np.asarray(gt["yaw"]), SPEC,
@@ -340,10 +349,10 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
     )
     key = jax.random.PRNGKey(0)
     for i in range(n_batches):
-        pts, gt = synthesize_points_batch(
+        pts, gt, vmask = synthesize_beam_scan_batch(
             jax.random.PRNGKey(42 + i), 32, n_points
         )
-        batch = {"points": pts, "center": gt["center"],
+        batch = {"points": pts, "valid": vmask, "center": gt["center"],
                  "size": gt["size"], "yaw": gt["yaw"]}
         for _ in range(steps_per_batch):
             key, sub = jax.random.split(key)
@@ -365,23 +374,24 @@ def config5_waymo_scale() -> dict:
 
     fn = make_e2e_step(graphdef, SPEC, dcfg, max_obstacles=4, head=head)
 
-    sets = _point_sets(4, 16, 131072)
-    dt = measure(fn, [(state, p) for p in sets], reps=2)
+    # 64-beam Waymo-scale scans: 64 x 2048 rays
+    sets = _point_sets(4, 16, 131072, n_beams=64)
+    dt = measure(fn, [(state, p, v) for p, v in sets], reps=2)
 
     # multi-object temporal tracking: a coherent 16-frame sequence of two
     # vehicles on constant-velocity paths (not independent scenes), decoded
     # top-4 per frame, tracked host-side
-    from tpufusion.data.synthetic import synthesize_tracking_sequence
+    from tpufusion.data.synthetic import synthesize_beam_tracking_sequence
 
     # tracking quality runs at the detector's training density (32k pts;
     # 128k clouds quadruple the clutter density and spawn spurious
     # clusters the asset was never trained against) — the throughput
     # number above stays at the full Waymo-scale 131072
-    seq_pts, seq_gt = synthesize_tracking_sequence(
+    seq_pts, seq_gt, seq_valid = synthesize_beam_tracking_sequence(
         jax.random.PRNGKey(77), 16, 32768, n_vehicles=2
     )
     force(seq_pts)
-    p, fd = fn(state, seq_pts)
+    p, fd = fn(state, seq_pts, seq_valid)
     tracker = PoseTracker(dt=0.1)
     trails = tracker.run_multi(np.asarray(p), np.asarray(fd))
 

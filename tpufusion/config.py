@@ -221,6 +221,18 @@ class DecodeConfig:
     # +44 f/s e2e under detection load on v5e) and "xla" (reduce-window
     # sweeps) elsewhere; both are selectable explicitly
     cc_impl: str = "auto"
+    # Direct-head center estimator (decode_frame_direct):
+    #   backproject — surface pixel + the fixed range_offset (reference
+    #                 semantics, predict.py:283)
+    #   geometric   — surface pixel pushed outward by half the box's radial
+    #                 extent computed from the head's own l/w/yaw: the
+    #                 visible face of a beam-structured scan sits a
+    #                 size-dependent distance in front of the center, so
+    #                 the fixed 0.75 m is the wrong constant
+    #   head        — probability-weighted average of the per-pixel decoded
+    #                 centers (exact inverse of encode_direct_label)
+    # Detector assets ship the mode they validated best with.
+    direct_center: str = "backproject"
 
 
 @dataclass(frozen=True)

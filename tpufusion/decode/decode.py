@@ -29,6 +29,8 @@ serves every frame. decode_batch vmaps the whole thing.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -569,24 +571,41 @@ def decode_frame_direct(
     spec: RangeViewSpec = RangeViewSpec(),
     cfg: DecodeConfig = DecodeConfig(),
     k: int = 1,
-    center: str = "backproject",
+    center: str | None = None,
 ) -> dict[str, jax.Array]:
     """Direct-head decode: top-k clusters -> poses (k, 7).
 
-    center="backproject" (default) is the hybrid estimator: position from
-    the cluster's back-projected bbox-center pixel (the reference's
-    robust path — measured 0.87-within-2m vs 0.37 for the averaged head
-    center at 2k training steps), size/yaw from the averaged head
-    channels. center="head" uses the head's averaged center too — the
-    exact inverse of encode_direct_label (round-trip tested).
+    `center` (None -> cfg.direct_center) picks the position estimator:
+
+    "backproject" is the hybrid estimator: position from the cluster's
+    back-projected bbox-center pixel + the fixed range_offset (the
+    reference's robust path — measured 0.87-within-2m vs 0.37 for the
+    averaged head center at 2k training steps), size/yaw from the
+    averaged head channels. "geometric" replaces the fixed offset with
+    half the box's radial extent along the viewing ray computed from the
+    head's own l/w/yaw — on beam-structured scans the visible face sits
+    0.8-2.1 m in front of the center depending on aspect, so any constant
+    offset is systematically wrong. "head" uses the head's averaged
+    center too — the exact inverse of encode_direct_label (round-trip
+    tested).
 
     k=1 mirrors decode_frame's largest-cluster semantics but still returns
     (1, 7)/(1,) shaped outputs; squeeze at the call site if needed."""
+    if center is None:
+        center = cfg.direct_center
+    if center not in ("backproject", "geometric", "head"):
+        raise ValueError(f"unknown direct_center {center!r}")
     prob = y_pred[..., 1]
     mask, labels, min_x, max_x, min_y, max_y = _heat_components(prob, cfg)
     idx, found, bboxes, centroids, areas = _topk_roots(
         mask, labels, min_x, max_x, min_y, max_y, cfg, k
     )
+    if center == "geometric":
+        # back-project to the raw SURFACE point; the radial push below
+        # replaces the fixed range_offset entirely
+        bp_cfg = dataclasses.replace(cfg, range_offset=0.0)
+    else:
+        bp_cfg = cfg
 
     def one(root_id, ok, bbox, cpx):
         cluster = mask & (labels == root_id)
@@ -595,11 +614,27 @@ def decode_frame_direct(
             with_center=center == "head",
         )
         good = ok & nonempty
-        if center == "backproject":
+        if center != "head":
             xyz, _, bp_ok = back_project_2d_to_3d(
-                cpx, bbox, image[..., 0], image[..., 1], spec, cfg
+                cpx, bbox, image[..., 0], image[..., 1], spec, bp_cfg
             )
             yaw = pose[3]
+            if center == "geometric":
+                # The physical box heading equals yaw (the orbit
+                # convention rotates the whole corner set, orientation
+                # included — boxes.box_corners_3d), so the box half-extent
+                # along the viewing ray is 0.5(l|cos d| + w|sin d|),
+                # d = ray azimuth - heading. Push the surface point that
+                # far outward along the ray.
+                ray_az = jnp.arctan2(xyz[1], xyz[0])
+                d = ray_az - yaw
+                l_, w_ = pose[4], pose[5]
+                push = 0.5 * (
+                    l_ * jnp.abs(jnp.cos(d)) + w_ * jnp.abs(jnp.sin(d))
+                )
+                rho = jnp.sqrt(xyz[0] ** 2 + xyz[1] ** 2)
+                scale = (rho + push) / jnp.maximum(rho, 1e-6)
+                xyz = jnp.stack([xyz[0] * scale, xyz[1] * scale, xyz[2]])
             c, s = jnp.cos(-yaw), jnp.sin(-yaw)
             ctr = jnp.stack(
                 [c * xyz[0] - s * xyz[1], s * xyz[0] + c * xyz[1], xyz[2]]
@@ -618,7 +653,7 @@ def decode_frame_direct(
 
 def decode_batch_direct(
     y_pred, images, spec=RangeViewSpec(), cfg=DecodeConfig(), k: int = 1,
-    center: str = "backproject",
+    center: str | None = None,
 ):
     """(B, H, W, 10), (B, H, W, C) -> poses (B, k, 7), found (B, k)."""
     return jax.vmap(

@@ -25,7 +25,23 @@ import optax
 from flax import nnx
 
 from tpufusion.config import DEFAULT, LossConfig, TrainConfig
-from tpufusion.data.synthetic import synthesize_points_batch
+from tpufusion.data.synthetic import (
+    synthesize_beam_scan_batch,
+    synthesize_points_batch,
+)
+
+
+def _synth(scenes, key, batch, n_points, max_yaw, vary_size=False):
+    """(points, gt, valid) for either scene family (valid=None for the
+    legacy uniform clutter)."""
+    if scenes == "beam":
+        return synthesize_beam_scan_batch(
+            key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size
+        )
+    pts, gt = synthesize_points_batch(
+        key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size
+    )
+    return pts, gt, None
 from tpufusion.geometry.range_view import range_view_project_batch
 from tpufusion.decode.decode import decode_batch
 from tpufusion.models.fcn import FCN
@@ -40,10 +56,10 @@ ASSET = os.path.join(
 
 
 def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
-             seed=999, max_yaw=0.05, head="corner"):
-    pts, gt = synthesize_points_batch(jax.random.PRNGKey(seed), batch,
-                                      n_points, max_yaw=max_yaw)
-    imgs = range_view_project_batch(pts, spec)
+             seed=999, max_yaw=0.05, head="corner", scenes="beam"):
+    pts, gt, vmask = _synth(scenes, jax.random.PRNGKey(seed), batch,
+                            n_points, max_yaw)
+    imgs = range_view_project_batch(pts, spec, vmask)
     preds = nnx.merge(graphdef, state)(imgs, train=False)
     if head == "direct":
         from tpufusion.decode.decode import decode_batch_direct
@@ -127,6 +143,10 @@ def main(argv=None):
     # held-out eval keeps the challenge's fixed vehicle
     ap.add_argument("--vary_size", action=argparse.BooleanOptionalAction,
                     default=True)
+    # beam = ray-cast Velodyne-like scans (discrete beams, occlusion,
+    # dropout) — the benchmark distribution since round 3; uniform = the
+    # legacy dense-clutter scenes (kept for comparisons)
+    ap.add_argument("--scenes", choices=("beam", "uniform"), default="beam")
     args = ap.parse_args(argv)
 
     cfg = DEFAULT
@@ -143,8 +163,8 @@ def main(argv=None):
     )
     opt = nnx.Optimizer(model, optax.adam(sched), wrt=nnx.Param)
 
-    pts, gt = synthesize_points_batch(jax.random.PRNGKey(42), args.batch,
-                                      args.n_points, max_yaw=args.max_yaw)
+    pts, gt, _ = _synth(args.scenes, jax.random.PRNGKey(42), args.batch,
+                        args.n_points, args.max_yaw)
     stats = population_weights(
         np.asarray(gt["center"]), np.asarray(gt["size"]),
         np.asarray(gt["yaw"]), spec,
@@ -172,19 +192,21 @@ def main(argv=None):
     key = jax.random.PRNGKey(7)
     t0 = time.time()
     for s in range(1, args.steps + 1):
-        p, g = synthesize_points_batch(
-            jax.random.PRNGKey(100_000 + s), args.batch, args.n_points,
-            max_yaw=args.max_yaw, vary_size=args.vary_size,
+        p, g, vmask = _synth(
+            args.scenes, jax.random.PRNGKey(100_000 + s), args.batch,
+            args.n_points, args.max_yaw, vary_size=args.vary_size,
         )
         batch = {"points": p, "center": g["center"], "size": g["size"],
                  "yaw": g["yaw"]}
+        if vmask is not None:
+            batch["valid"] = vmask
         key, sub = jax.random.split(key)
         loss, _ = step(model, opt, batch, sub)
         if s % args.eval_every == 0 or s == args.steps:
             _, state = nnx.split(model)
             ev = evaluate(graphdef, state, spec, dcfg,
                           args.batch, args.n_points, max_yaw=args.max_yaw,
-                          head=args.head)
+                          head=args.head, scenes=args.scenes)
             print(
                 f"step {s}: loss {float(loss):.3f} det {ev['det']:.2f} "
                 f"xy_err {ev['xy_err']:.2f} within2m {ev['within2m']:.2f} "
@@ -196,6 +218,7 @@ def main(argv=None):
                 save_state_npz(args.out, model)
     with open(args.out + ".json", "w") as f:
         json.dump({"best": best, "steps": args.steps,
+                   "scenes": args.scenes,
                    "max_yaw": args.max_yaw,
                    "batch": args.batch, "n_points": args.n_points,
                    "w1_boost": args.w1_boost,

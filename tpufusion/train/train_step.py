@@ -26,7 +26,11 @@ from tpufusion.models.metrics import batch_metrics
 def _batch_images(batch, spec: RangeViewSpec):
     if "images" in batch:
         return batch["images"]
-    return range_view_project_batch(batch["points"], spec)
+    # optional per-point validity (beam-structured scans mark no-return
+    # rays invalid; the projector drops them like padding)
+    return range_view_project_batch(
+        batch["points"], spec, batch.get("valid")
+    )
 
 
 def make_train_step(

@@ -184,3 +184,81 @@ def test_etl_roundtrip(tmp_path, rng):
     # tx(t) linear: tx = 10 + (t - 55)/1e8; at t=110+1e8? check second row
     want_tx = 10.0 + (float(lidar_ts[1]) - 55.0) / 1e8
     assert abs(rows[1]["tx"] - want_tx) < 1e-6
+
+
+def test_radar_overlay_on_camera(tmp_path):
+    """CLI overlay_radar: radar-derived boxes drawn on camera frames
+    through the camera model (process_radar_data.py:122-141)."""
+    import csv as _csv
+
+    from tpufusion.cli import main as cli_main
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 60, (2, 512, 1368), np.uint8)
+    ts = np.asarray([1000, 2000], np.int64)
+    np.savez(tmp_path / "camera_frames.npz", images=frames, timestamps=ts)
+    with open(tmp_path / "radar.csv", "w", newline="") as f:
+        wr = _csv.DictWriter(f, ["timestamp", "range", "angle", "rate",
+                                 "status"])
+        wr.writeheader()
+        # dead ahead at 15 m: projects near the image center
+        wr.writerow({"timestamp": 990, "range": 15.0, "angle": 0.0,
+                     "rate": 0.0, "status": 3})
+        wr.writerow({"timestamp": 2010, "range": 25.0, "angle": -2.0,
+                     "rate": 0.0, "status": 3})
+    out = tmp_path / "overlay"
+    cli_main(["overlay_radar", str(tmp_path / "camera_frames.npz"),
+              str(tmp_path / "radar.csv"), str(out), "--crop_top", "256"])
+    import cv2
+
+    files = sorted(out.glob("image_*.png"))
+    assert len(files) == 2
+    img = cv2.imread(str(files[0]))
+    # drawn circles: saturated green/red/blue pixels exist
+    assert (img.max(axis=(0, 1)) >= 250).any()
+
+
+def test_crop_extractor(tmp_path):
+    """CLI crops: project pose boxes into the camera and crop JPEGs
+    (video/extract_image.py:15-33 minus the external YOLO)."""
+    import csv as _csv
+
+    from tpufusion.cli import main as cli_main
+
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 255, (3, 512, 1368), np.uint8)
+    ts = np.asarray([10, 20, 30], np.int64)
+    np.savez(tmp_path / "camera_frames.npz", images=frames, timestamps=ts)
+    with open(tmp_path / "poses.csv", "w", newline="") as f:
+        wr = _csv.DictWriter(
+            f, ["timestamp", "tx", "ty", "tz", "rx", "ry", "rz"]
+        )
+        wr.writeheader()
+        wr.writerow({"timestamp": 10, "tx": 12.0, "ty": 1.0, "tz": -0.7,
+                     "rx": 0, "ry": 0, "rz": 0})
+        wr.writerow({"timestamp": 20, "tx": 0.0, "ty": 0.0, "tz": 0.0,
+                     "rx": 0, "ry": 0, "rz": 0})  # no detection
+        wr.writerow({"timestamp": 30, "tx": 20.0, "ty": -2.0, "tz": -0.7,
+                     "rx": 0, "ry": 0, "rz": 0})
+    out = tmp_path / "crops"
+    cli_main(["crops", str(tmp_path / "camera_frames.npz"),
+              str(tmp_path / "poses.csv"), str(out), "--crop_top", "256"])
+    files = sorted(out.glob("Car_*.jpg"))
+    assert len(files) == 2  # zero-pose frame skipped
+    import cv2
+
+    crop = cv2.imread(str(files[0]))
+    assert 10 < crop.shape[0] < 512 and 10 < crop.shape[1] < 1368
+
+
+def test_edges_cli(tmp_path):
+    from tpufusion.cli import main as cli_main
+
+    import cv2
+
+    img = np.zeros((64, 64), np.uint8)
+    img[20:40, 20:40] = 255
+    cv2.imwrite(str(tmp_path / "in.png"), img)
+    cli_main(["edges", str(tmp_path / "in.png"), str(tmp_path / "out.png")])
+    edges = cv2.imread(str(tmp_path / "out.png"), cv2.IMREAD_GRAYSCALE)
+    assert edges is not None and edges.max() == 255  # box outline found

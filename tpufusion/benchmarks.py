@@ -159,13 +159,13 @@ def config3_fused() -> dict:
     graphdef_f, state_f = nnx.split(fusion)
 
     @jax.jit
-    def fn(state_b, state_f, points, cam_img, radar):
-        bev = bev_rasterize_batch(points, bev_spec)  # (B, nx, ny, 2)
+    def fn(state_b, state_f, points, valid, cam_img, radar):
+        bev = bev_rasterize_batch(points, bev_spec, valid)  # (B, nx, ny, 2)
         painted = jnp.where(ok_t, cam_img[:, v_t, u_t, 0], 0.0)
         fused = jnp.concatenate([bev, painted[..., None]], axis=-1)
         fused = jnp.swapaxes(fused, 1, 2)[:, :, : nx - 2, :]
         seg = nnx.merge(graphdef_b, state_b)(fused, train=False)
-        lidar_img = range_view_project_batch(points, SPEC)
+        lidar_img = range_view_project_batch(points, SPEC, valid)
         centroid, rz = nnx.merge(graphdef_f, state_f)(
             cam_img, lidar_img, radar, train=False
         )
@@ -175,14 +175,14 @@ def config3_fused() -> dict:
     sets = _point_sets(6, batch, 32768)
     rng = np.random.default_rng(7)
     args = []
-    for p in sets:
+    for p, v in sets:
         cam_img = jnp.asarray(
             rng.uniform(0, 1, (batch, hc, wc, 1)).astype(np.float32)
         )
         radar = jnp.asarray(
             rng.uniform(-1, 1, (batch, 2)).astype(np.float32)
         )
-        args.append((state_b, state_f, p, cam_img, radar))
+        args.append((state_b, state_f, p, v, cam_img, radar))
     dt = measure(fn, args, reps=3)
     return {
         "config": 3,

@@ -255,6 +255,91 @@ def _cmd_analyze(args):
     print(json.dumps({"frames": len(rows), "plot": args.output}))
 
 
+def _load_camera(args):
+    """CameraModel from YAMLs, or the synthetic forward-facing pinhole
+    when the dataset carries no calibration (synthetic extracts)."""
+    from tpufusion.geometry.camera import CameraModel, synthetic_camera
+
+    if getattr(args, "camera_yaml", None):
+        return CameraModel().load_camera_calibration(
+            args.camera_yaml, getattr(args, "extrinsic_yaml", None)
+        )
+    return synthetic_camera()
+
+
+def _cmd_overlay_radar(args):
+    import csv as _csv
+    import os
+
+    import cv2
+
+    from tpufusion.tools.visualize import render_radar_boxes_on_camera
+
+    camera = _load_camera(args)
+    with open(args.radar_csv) as f:
+        rows = [
+            {k: float(v) for k, v in r.items()}
+            for r in _csv.DictReader(f)
+        ]
+    by_ts = {}
+    for r in rows:
+        by_ts.setdefault(int(r.get("timestamp", 0)), []).append(r)
+    os.makedirs(args.out_dir, exist_ok=True)
+    npz = np.load(args.camera_frames)
+    images, ts = npz["images"], npz["timestamps"]
+    written = 0
+    for img, t in zip(images, ts):
+        # nearest radar burst to this frame (process_radar_data.py:103)
+        keys = np.asarray(sorted(by_ts))
+        near = int(keys[np.abs(keys - int(t)).argmin()]) if len(keys) else None
+        if near is None:
+            continue
+        if img.ndim == 2:
+            img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+        canvas = render_radar_boxes_on_camera(
+            img, by_ts[near], camera, crop_top=args.crop_top
+        )
+        cv2.imwrite(os.path.join(args.out_dir, f"image_{int(t)}.png"), canvas)
+        written += 1
+    print(json.dumps({"frames": written, "out_dir": args.out_dir}))
+
+
+def _cmd_crops(args):
+    from tpufusion.data.registry import load_pose_csv
+    from tpufusion.tools.crops import extract_crops
+
+    camera = _load_camera(args)
+    npz = np.load(args.camera_frames)
+    images, ts = npz["images"], npz["timestamps"]
+    rows = load_pose_csv(args.poses)
+    by_ts = {int(r["timestamp"]): r for r in rows}
+    poses = []
+    for t in ts:
+        r = by_ts.get(int(t))
+        poses.append(
+            [r["tx"], r["ty"], r["tz"], r.get("rz", 0.0),
+             r.get("l", args.l), r.get("w", args.w), r.get("h", args.h)]
+            if r else [0.0] * 7
+        )
+    written = extract_crops(
+        images, np.asarray(poses, float), camera, args.out_dir,
+        label=args.label, tag=args.tag, crop_top=args.crop_top,
+    )
+    print(json.dumps({"crops": len(written), "out_dir": args.out_dir}))
+
+
+def _cmd_edges(args):
+    import cv2
+
+    from tpufusion.tools.visualize import detect_edges
+
+    img = cv2.imread(args.input, cv2.IMREAD_GRAYSCALE)
+    if img is None:
+        raise SystemExit(f"cannot read {args.input}")
+    cv2.imwrite(args.output, detect_edges(img, args.t1, args.t2))
+    print(json.dumps({"output": args.output}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpufusion")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -344,6 +429,46 @@ def main(argv=None):
     an.add_argument("poses")
     an.add_argument("--output", default="gt_distribution.png")
     an.set_defaults(fn=_cmd_analyze)
+
+    ov = sub.add_parser(
+        "overlay_radar",
+        help="draw radar-derived 3D boxes on camera frames "
+             "(process_radar_data.py:122-141)",
+    )
+    ov.add_argument("camera_frames", help="camera_frames.npz from extract")
+    ov.add_argument("radar_csv", help="radar/radar_tracks.csv")
+    ov.add_argument("out_dir")
+    ov.add_argument("--camera_yaml", default=None)
+    ov.add_argument("--extrinsic_yaml", default=None)
+    ov.add_argument("--crop_top", type=int, default=0)
+    ov.set_defaults(fn=_cmd_overlay_radar)
+
+    cr = sub.add_parser(
+        "crops",
+        help="crop detected/GT boxes to JPEGs for a downstream classifier "
+             "(video/extract_image.py:15-33, YOLO-free)",
+    )
+    cr.add_argument("camera_frames", help="camera_frames.npz from extract")
+    cr.add_argument("poses", help="predictions or GT pose CSV")
+    cr.add_argument("out_dir")
+    cr.add_argument("--camera_yaml", default=None)
+    cr.add_argument("--extrinsic_yaml", default=None)
+    cr.add_argument("--crop_top", type=int, default=0)
+    cr.add_argument("--label", default="Car")
+    cr.add_argument("--tag", default="dataset")
+    cr.add_argument("--l", type=float, default=4.2)
+    cr.add_argument("--w", type=float, default=1.6)
+    cr.add_argument("--h", type=float, default=1.5)
+    cr.set_defaults(fn=_cmd_crops)
+
+    ed = sub.add_parser(
+        "edges", help="Canny edge demo (video/edge_detection.py:14-17)"
+    )
+    ed.add_argument("input")
+    ed.add_argument("output")
+    ed.add_argument("--t1", type=float, default=100.0)
+    ed.add_argument("--t2", type=float, default=200.0)
+    ed.set_defaults(fn=_cmd_edges)
 
     args = p.parse_args(argv)
     args.fn(args)

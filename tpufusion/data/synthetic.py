@@ -383,8 +383,12 @@ def synthesize_beam_scan_batch(
     vary_size: bool = False,
     n_clutter: int = 24,
     dropout: float = 0.12,
+    angle_range: tuple[float, float] = (-np.pi, np.pi),
 ) -> tuple[jax.Array, dict[str, jax.Array], jax.Array]:
     """Beam-structured single-vehicle scenes.
+
+    angle_range restricts the vehicle's spawn azimuth (e.g. a camera-FOV
+    wedge for fusion training, where the camera must see the obstacle).
 
     Returns (points (B, N, 4), gt {center (B,3), size (B,3), yaw (B,)},
     valid (B, N)). N = n_points; the azimuth step count is n_points //
@@ -404,7 +408,9 @@ def synthesize_beam_scan_batch(
     b = batch
 
     dist = jax.random.uniform(ks[0], (b,), minval=8.0, maxval=30.0)
-    angle = jax.random.uniform(ks[1], (b,), minval=-np.pi, maxval=np.pi)
+    angle = jax.random.uniform(
+        ks[1], (b,), minval=angle_range[0], maxval=angle_range[1]
+    )
     center = jnp.stack(
         [dist * jnp.cos(angle), dist * jnp.sin(angle), jnp.full((b,), -0.7)],
         axis=-1,

@@ -227,3 +227,26 @@ def rgb_onto_bev(
     out[ok] = image[v[ok], u[ok]].reshape(-1, c)
     # same flip as the BEV raster
     return out.reshape(bev_nx, bev_ny, c)[::-1, ::-1]
+
+
+def synthetic_camera(
+    width: int = 1368, height: int = 1024, f: float = 1400.0
+) -> CameraModel:
+    """A forward-facing pinhole with reference-like intrinsics, for
+    synthetic datasets that carry no calibration YAML (the real bags ship
+    one; the synthesizer does not). Extrinsic maps lidar x-forward/
+    y-left/z-up onto camera z-forward/x-right/y-down."""
+    cam = CameraModel()
+    cam.width, cam.height = width, height
+    cam.P = np.asarray(
+        [[f, 0.0, width / 2.0, 0.0],
+         [0.0, f, height / 2.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0]]
+    )
+    cam.extrinsic = np.asarray(
+        [[0.0, -1.0, 0.0, 0.0],
+         [0.0, 0.0, -1.0, 0.0],
+         [1.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 1.0]]
+    )
+    return cam

@@ -60,13 +60,30 @@ class FusionNet(nnx.Module):
         ),
         camera: CameraConfig = CameraConfig(),
         lidar_hw: tuple[int, int] = (32, 1801),
+        lidar_pool: tuple[int, int] | None = None,
+        cam_pool: tuple[int, int] = (4, 1),
         *,
         rngs: nnx.Rngs,
     ):
+        """lidar_pool / cam_pool: (ph, pw) max-pools over the branch
+        feature maps before their dense layers. The reference pools the
+        camera (4, 1) and flattens the raw 32x1801x2 lidar map into an
+        ~11M-parameter Dense (train_fcn.py:258-272 — a net it never
+        shipped weights for); lidar_pool (2, 8) + cam_pool (8, 8) cut the
+        branches to ~2.8M params total so a trained full-camera-scale
+        fusion asset is small enough to ship in-repo. The defaults keep
+        the reference-faithful geometry."""
         self.lidar_fcn = FCN(lidar_model, in_channels=3, rngs=rngs)
         self.camera_fcn = FCN(camera_model, in_channels=camera.channels, rngs=rngs)
-        cam_flat = (camera.height // 4) * camera.width * 2
-        lidar_flat = lidar_hw[0] * lidar_hw[1] * 2
+        self.lidar_pool = lidar_pool
+        self.cam_pool = cam_pool
+        cam_flat = (
+            (camera.height // cam_pool[0]) * (camera.width // cam_pool[1]) * 2
+        )
+        lh, lw = lidar_hw
+        if lidar_pool is not None:
+            lh, lw = lh // lidar_pool[0], lw // lidar_pool[1]
+        lidar_flat = lh * lw * 2
         self.cam_branch = _Branch(cam_flat, rngs=rngs)
         self.lidar_branch = _Branch(lidar_flat, rngs=rngs)
         self.centroid_head = _TwoPathHead(48 + 48 + 2, 3, rngs=rngs)
@@ -78,8 +95,14 @@ class FusionNet(nnx.Module):
         cam_feat = self.camera_fcn.features(cam_img, train=train)
         lidar_feat = self.lidar_fcn.features(lidar_img, train=train)
         cam_feat = nnx.max_pool(
-            cam_feat, window_shape=(4, 1), strides=(4, 1), padding="VALID"
+            cam_feat, window_shape=self.cam_pool, strides=self.cam_pool,
+            padding="VALID",
         )
+        if self.lidar_pool is not None:
+            lidar_feat = nnx.max_pool(
+                lidar_feat, window_shape=self.lidar_pool,
+                strides=self.lidar_pool, padding="VALID",
+            )
         c = self.cam_branch(cam_feat, train=train)
         l = self.lidar_branch(lidar_feat, train=train)
         x = jnp.concatenate([c, l, radar.astype(jnp.float32)], axis=-1)

@@ -101,3 +101,68 @@ def save(path: str, canvas: np.ndarray) -> None:
     import cv2
 
     cv2.imwrite(path, canvas)
+
+
+def render_radar_boxes_on_camera(
+    image_bgr: np.ndarray,  # (H, W, 3) uint8
+    tracks,  # iterable of data.radar.RadarTrack (or dicts with range/angle)
+    camera,  # geometry.camera.CameraModel
+    box_lwh: tuple = (4.2418, 1.574, 1.5748),
+    crop_top: int = 0,
+) -> np.ndarray:
+    """Radar-derived 3D boxes drawn onto a camera frame.
+
+    Matches `modules/lidar/process/process_radar_data.py:122-141` +
+    `common/camera_model.py:69-89`: each radar return becomes a nominal
+    vehicle box at its range/angle (with the radar->lidar mount offset
+    applied by RadarTrack.to_xyz); the centroid is drawn blue, the top
+    four corners green, the bottom four red, as filled circles."""
+    import cv2
+
+    from tpufusion.data.radar import RadarTrack
+
+    l, w, h = box_lwh
+    canvas = image_bgr.copy()
+    for t in tracks:
+        if isinstance(t, dict):
+            t = RadarTrack(
+                timestamp=int(t.get("timestamp", 0)),
+                range=float(t["range"]),
+                angle=float(t["angle"]),
+                rate=float(t.get("rate", 0.0)),
+                status=float(t.get("status", 0.0)),
+            )
+        tx, ty, tz = t.to_xyz()
+        pts = [
+            (tx, ty, tz),  # centroid — blue
+            (tx - l / 2, ty + w / 2, tz + h / 2),  # top 4 — green
+            (tx - l / 2, ty - w / 2, tz + h / 2),
+            (tx + l / 2, ty + w / 2, tz + h / 2),
+            (tx + l / 2, ty - w / 2, tz + h / 2),
+            (tx + l / 2, ty - w / 2, tz - h / 2),  # bottom 4 — red
+            (tx - l / 2, ty + w / 2, tz - h / 2),
+            (tx - l / 2, ty - w / 2, tz - h / 2),
+            (tx + l / 2, ty + w / 2, tz - h / 2),
+        ]
+        uv = camera.project_lidar_to_pixels(np.asarray(pts, float))
+        hh, ww = canvas.shape[:2]
+        for pos, (u, v) in enumerate(uv):
+            color = (
+                (255, 0, 0) if pos == 0
+                else (0, 255, 0) if pos < 5
+                else (0, 0, 255)
+            )
+            u, v = int(round(u)), int(round(v)) - crop_top
+            if 0 <= u < ww and 0 <= v < hh:
+                cv2.circle(canvas, (u, v), 5, color, thickness=-1)
+    return canvas
+
+
+def detect_edges(
+    img: np.ndarray, threshold1: float = 100, threshold2: float = 200
+) -> np.ndarray:
+    """Canny edge map (`modules/video/edge_detection.py:14-17`; the
+    reference's comment records Canny beating Sobel on its test set)."""
+    import cv2
+
+    return cv2.Canny(img, threshold1, threshold2)

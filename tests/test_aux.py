@@ -206,3 +206,45 @@ def test_multi_vehicle_and_tracking_sequence_generators():
     steps = np.linalg.norm(np.diff(sc[:, 0, :2], axis=0), axis=1)
     assert np.allclose(steps, steps[0], atol=1e-5)
     assert steps[0] <= 2.0 * np.sqrt(2.0) * 0.1 + 1e-6
+
+
+def test_tracker_confirmation_suppresses_flicker():
+    """A detection that flickers twice inside the coast window must NOT
+    become a confirmed track (n-of-m confirmation — the round-2 config 5
+    spurious-track mode); a persistent detection must."""
+    from tpufusion.serve.tracker import PoseTracker
+
+    f = 12
+    poses = np.zeros((f, 2, 7))
+    found = np.zeros((f, 2), bool)
+    poses[:, 0, :3] = [15.0, 2.0, -0.7]  # persistent vehicle
+    found[:, 0] = True
+    poses[:, 1, :3] = [30.0, -5.0, -0.7]  # clutter: fires twice only
+    found[2, 1] = found[4, 1] = True
+
+    trails = PoseTracker(dt=0.1).run_multi(poses, found)
+    assert len(trails) == 1  # only the persistent track confirms
+    (trail,) = trails.values()
+    assert len(trail) >= f - 4
+
+
+def test_track_quality_metrics_counts_switches_and_spurious():
+    from tpufusion.serve.tracker import track_quality_metrics
+
+    f = 10
+    gt = np.zeros((f, 1, 3))
+    gt[:, 0, 0] = 10.0  # stationary vehicle at x=10
+    # track 1 covers frames 0-4, track 7 covers 5-9 (one id switch +
+    # one fragmentation), track 9 never near the vehicle (spurious)
+    mk = lambda x: np.asarray([x, 0.0, -0.7, 0, 4.2, 1.6, 1.5])
+    trails = {
+        1: [(i, mk(10.0)) for i in range(5)],
+        7: [(i, mk(10.2)) for i in range(5, 10)],
+        9: [(i, mk(40.0)) for i in range(10)],
+    }
+    q = track_quality_metrics(trails, gt)
+    assert q["vehicles_tracked"] == 1
+    assert q["spurious_tracks"] == 1
+    assert q["id_switches"] == 1
+    assert q["fragmentation"] == 1
+    assert q["coverage"] == 1.0

@@ -195,4 +195,5 @@ def test_two_vehicle_scene_multi_decode_and_tracking(rng):
     trails = tracker.run_multi(seq, fnd)
     assert len(trails) == 2, trails.keys()
     for trail in trails.values():
-        assert len(trail) >= frames - 1  # confirmed from frame 2 on
+        # n-of-m confirmation (min_hits=3): confirmed from frame 3 on
+        assert len(trail) >= frames - 2

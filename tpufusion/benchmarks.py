@@ -395,32 +395,10 @@ def config5_waymo_scale() -> dict:
     tracker = PoseTracker(dt=0.1)
     trails = tracker.run_multi(np.asarray(p), np.asarray(fd))
 
-    # decompose: a trail matches a ground-truth vehicle when its mean
-    # distance to that vehicle's path (over the trail's frames) is < 2.5 m
+    from tpufusion.serve.tracker import track_quality_metrics
+
     gt_c = np.asarray(seq_gt["center"])  # (F, V, 3)
-    matched_vehicles = set()
-    spurious = 0
-    for trail in trails.values():
-        errs = np.asarray(
-            [
-                np.linalg.norm(
-                    gt_c[f, :, :2] - pose[None, :2], axis=1
-                ).min(axis=0)
-                for f, pose in trail
-            ]
-        )
-        which = np.asarray(
-            [
-                np.linalg.norm(
-                    gt_c[f, :, :2] - pose[None, :2], axis=1
-                ).argmin()
-                for f, pose in trail
-            ]
-        )
-        if errs.mean() < 2.5:
-            matched_vehicles.add(int(np.bincount(which).argmax()))
-        else:
-            spurious += 1
+    quality = track_quality_metrics(trails, gt_c)
 
     n_dev = len(jax.devices())
     return {
@@ -431,8 +409,13 @@ def config5_waymo_scale() -> dict:
         "devices": n_dev,
         "detections": int(np.asarray(fd).sum()),
         "tracks": len(trails),
-        "vehicles_tracked": f"{len(matched_vehicles)}/{gt_c.shape[1]}",
-        "spurious_tracks": spurious,
+        "vehicles_tracked": (
+            f"{quality['vehicles_tracked']}/{quality['vehicles_total']}"
+        ),
+        "spurious_tracks": quality["spurious_tracks"],
+        "id_switches": quality["id_switches"],
+        "fragmentation": quality["fragmentation"],
+        "track_coverage": quality["coverage"],
         "tracked_frames": len(
             {f for trail in trails.values() for f, _ in trail}
         ),

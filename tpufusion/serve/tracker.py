@@ -22,12 +22,21 @@ class Track:
     pose: np.ndarray  # (7,) tx ty tz rz l w h
     velocity: np.ndarray  # (3,)
     last_seen: int
+    min_hits: int = 3
+    min_hit_ratio: float = 0.6
     hits: int = 1
     age: int = 1
 
     @property
     def confirmed(self) -> bool:
-        return self.hits >= 2
+        # n-of-m confirmation: enough hits AND a healthy hit rate over the
+        # track's lifetime. hits>=2 alone let any clutter cluster that
+        # flickered twice inside the coast window become a track (the two
+        # spurious tracks of round 2's config 5).
+        return (
+            self.hits >= self.min_hits
+            and self.hits / max(self.age, 1) >= self.min_hit_ratio
+        )
 
 
 class PoseTracker:
@@ -37,11 +46,15 @@ class PoseTracker:
         smooth: float = 0.5,
         max_coast: int = 5,
         dt: float = 0.1,
+        min_hits: int = 3,
+        min_hit_ratio: float = 0.6,
     ):
         self.gate_m = gate_m
         self.smooth = smooth
         self.max_coast = max_coast
         self.dt = dt
+        self.min_hits = min_hits
+        self.min_hit_ratio = min_hit_ratio
         self.tracks: list[Track] = []
         self._next_id = 1
         self._frame = 0
@@ -85,6 +98,8 @@ class PoseTracker:
                     pose=np.asarray(dets[i], np.float64),
                     velocity=np.zeros(3),
                     last_seen=self._frame,
+                    min_hits=self.min_hits,
+                    min_hit_ratio=self.min_hit_ratio,
                 )
             )
             self._next_id += 1
@@ -121,3 +136,75 @@ class PoseTracker:
                 best = max(live, key=lambda t: t.hits)
                 out[f] = self._predict(best)
         return out
+
+
+def track_quality_metrics(
+    trails: dict[int, list[tuple[int, np.ndarray]]],
+    gt_centers: np.ndarray,  # (F, V, 3) per-frame ground-truth centers
+    match_dist: float = 2.5,
+) -> dict:
+    """MOT-style quality decomposition of PoseTracker.run_multi output.
+
+    Per (frame, vehicle), the matched track is the trail whose pose that
+    frame lies within match_dist (xy). Reports:
+      vehicles_tracked — GT vehicles matched in at least 3 frames
+      spurious_tracks  — trails that never match any vehicle
+      id_switches      — times a vehicle's matched track id CHANGES
+                         between consecutive matched frames
+      fragmentation    — extra distinct tracks per vehicle beyond the
+                         first (sum over vehicles)
+      coverage         — matched (frame, vehicle) pairs / total
+    The reference has no tracker and no metrics like these (SURVEY §2.2).
+    """
+    f, v = gt_centers.shape[:2]
+    # frame -> {track_id: pose}
+    by_frame: dict[int, dict[int, np.ndarray]] = {}
+    for tid, trail in trails.items():
+        for fr, pose in trail:
+            by_frame.setdefault(fr, {})[tid] = pose
+
+    matched_ids = {vi: [] for vi in range(v)}  # sequence of (frame, tid)
+    used_tracks = set()
+    matched_pairs = 0
+    for fr in range(f):
+        frame_tracks = by_frame.get(fr, {})
+        if not frame_tracks:
+            continue
+        tids = list(frame_tracks)
+        poses = np.asarray([frame_tracks[t][:2] for t in tids])
+        taken = set()
+        for vi in range(v):
+            d = np.linalg.norm(poses - gt_centers[fr, vi, :2], axis=1)
+            order = np.argsort(d)
+            for j in order:
+                if d[j] > match_dist:
+                    break
+                if tids[j] in taken:
+                    continue
+                taken.add(tids[j])
+                used_tracks.add(tids[j])
+                matched_ids[vi].append((fr, tids[j]))
+                matched_pairs += 1
+                break
+
+    id_switches = 0
+    fragmentation = 0
+    vehicles_tracked = 0
+    for vi in range(v):
+        seq = matched_ids[vi]
+        if len(seq) >= 3:
+            vehicles_tracked += 1
+        ids = [tid for _, tid in seq]
+        id_switches += sum(
+            1 for a, b in zip(ids, ids[1:]) if a != b
+        )
+        fragmentation += max(len(set(ids)) - 1, 0)
+
+    return {
+        "vehicles_tracked": vehicles_tracked,
+        "vehicles_total": v,
+        "spurious_tracks": len(set(trails) - used_tracks),
+        "id_switches": id_switches,
+        "fragmentation": fragmentation,
+        "coverage": round(matched_pairs / max(f * v, 1), 3),
+    }

@@ -257,3 +257,23 @@ def test_packed_winner_divergence_bound(rng):
         )
         compare(np.concatenate([pts, dup], axis=0))
     assert plain_diff / max(plain_occ, 1) < 0.005, (plain_diff, plain_occ)
+
+
+def test_sort16_and_exact_and_scatter_identical(rng):
+    """The packed-key 2-operand sort (method="sort16", a measured-slower
+    but kept variant), the exact 2-key sort, and the two-pass scatter-min
+    produce bit-identical images, including collision and exact-tie
+    behavior."""
+    from tests.conftest import synthetic_cloud
+    from tpufusion.geometry.range_view import range_view_project
+
+    spec = RangeViewSpec()
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        pts = synthetic_cloud(r, n=8192, with_vehicle_at=(10.0, 2.0, -0.7))
+        pts = np.concatenate([pts, pts[:512]], axis=0)  # exact-key ties
+        a = np.asarray(range_view_project(jnp.asarray(pts), spec, None, "exact"))
+        b = np.asarray(range_view_project(jnp.asarray(pts), spec, None, "sort16"))
+        c = np.asarray(range_view_project(jnp.asarray(pts), spec, None, "scatter"))
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a, c)

@@ -31,6 +31,7 @@ from tpufusion.ops.scatter import (
     nearest_wins_scatter,
     nearest_wins_scatter_packed,
     nearest_wins_sort,
+    nearest_wins_sort16,
 )
 
 
@@ -66,10 +67,14 @@ def range_view_project(
 
     `valid` masks padding; non-finite points are dropped regardless.
     method="exact" reproduces the reference's nearest-wins collision rule
-    bit-for-bit via the sort formulation (nearest_wins_sort); "scatter"
-    is the equivalent two-pass scatter-min (slower, kept for testing);
-    "packed" quantizes the winner key for one fewer pass (see
-    nearest_wins_scatter_packed).
+    bit-for-bit via the 2-key sort formulation (nearest_wins_sort), which
+    is bit-identical to "scatter", the two-pass scatter-min (slower, kept
+    for testing). "sort16" is the packed-key 2-operand sort variant —
+    also bit-identical, but measured SLOWER on v5e (the log-depth run-min
+    sweep costs more than the saved sort operand; NOTES.md round 3), kept
+    selectable for re-measurement on other hardware. "packed" quantizes
+    the winner key for one fewer pass (bounded winner-selection
+    tolerance, see nearest_wins_scatter_packed).
     """
     pts = points.astype(jnp.float32)
     finite = jnp.all(jnp.isfinite(pts), axis=1)
@@ -82,6 +87,7 @@ def range_view_project(
 
     scatter_fn = {
         "exact": nearest_wins_sort,
+        "sort16": nearest_wins_sort16,
         "scatter": nearest_wins_scatter,
         "packed": nearest_wins_scatter_packed,
     }[method]

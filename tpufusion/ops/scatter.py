@@ -157,3 +157,73 @@ def scatter_max(
     out = jnp.full((num_pixels,), neg_inf, dtype=jnp.float32)
     out = out.at[safe_ids].max(vals)
     return jnp.where(jnp.isfinite(out), out, jnp.float32(fill))
+
+
+def nearest_wins_sort16(
+    pixel_ids: jax.Array,  # (N,) int32 flat pixel index in [0, num_pixels)
+    rank_key: jax.Array,  # (N,) float32 >= 0; smallest key wins a pixel
+    valid: jax.Array,  # (N,) bool
+    num_pixels: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact nearest-wins winner via a SINGLE-key sort with packed 16-bit
+    pixel ids — the round-2 'smaller sort keys' lever.
+
+    The 3-operand 2-key sort of nearest_wins_sort moves (pix, bits, idx);
+    here the sort moves only (packed, idx) where packed = pix(16 bits) <<
+    16 | coarse(top 16 bits of the sortable L2 encoding). Ordering by
+    `packed` equals ordering by (pix, coarse), so each pixel's TRUE winner
+    lives somewhere in its first equal-`packed` run; a log2(N)-deep gated
+    shift-min over (low 15 key bits << 15 | idx) then resolves the exact
+    winner inside each run (the same fixed-distance sweep trick as the CC
+    propagation, ops/components.py) — a handful of fused VPU ops instead
+    of a third sorted operand.
+
+    Bit-identical to nearest_wins_sort/scatter (golden-tested). Requires
+    pixel ids + 1 sentinel to fit 16 bits and N <= 2^15 (128k-point Waymo
+    clouds need nearest_wins_sort). NOT the default: an in-session
+    readback-fenced A/B on v5e measured it SLOWER than the 2-key sort
+    (100 vs 80 ms/64-batch incl. host transfer) — the 15-step run-min
+    sweep costs more than the third sort operand it saves (NOTES.md
+    round 3). Kept selectable (method="sort16") for other hardware.
+    """
+    n = pixel_ids.shape[0]
+    assert n <= (1 << 15), f"idx must fit 15 bits, got N={n}"
+    assert num_pixels + 1 <= (1 << 16), num_pixels
+    pix = jnp.where(valid, pixel_ids, num_pixels)
+    bits = jnp.where(valid, _sortable_bits(rank_key), _INT32_MAX)
+    coarse = ((bits >> 15) & 0xFFFF).astype(jnp.uint32)
+    # uint32 key: pix up to 65535 in the high half would overflow int32
+    packed = (pix.astype(jnp.uint32) << 16) | coarse
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sk, si = jax.lax.sort((packed, idx), num_keys=1, is_stable=True)
+
+    # exact winner inside each equal-`packed` run: min of (low-bits, idx)
+    low = (bits & 0x7FFF)[si]
+    key2 = (low << 15) | si  # 30 bits; idx tie-break for free
+    run_min = key2
+    d = 1
+    while d < n:
+        shifted = jnp.concatenate(
+            [run_min[d:], jnp.full((d,), _INT32_MAX, jnp.int32)]
+        )
+        same = jnp.concatenate([sk[d:] == sk[:-d], jnp.zeros((d,), bool)])
+        run_min = jnp.minimum(run_min, jnp.where(same, shifted, _INT32_MAX))
+        d <<= 1
+
+    first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    spix = (sk >> 16).astype(jnp.int32)
+    # first run of each pixel = run start whose pixel differs from the
+    # previous element's pixel
+    pix_first = jnp.concatenate(
+        [jnp.ones((1,), bool), spix[1:] != spix[:-1]]
+    )
+    win_here = first & pix_first & (spix < num_pixels)
+    winner_idx = run_min & 0x7FFF
+    tgt = jnp.where(win_here, spix, num_pixels)
+    winner = jnp.zeros((num_pixels + 1,), jnp.int32).at[tgt].set(
+        winner_idx, mode="drop"
+    )
+    occupied = jnp.zeros((num_pixels + 1,), bool).at[tgt].set(
+        True, mode="drop"
+    )
+    return winner[:num_pixels], occupied[:num_pixels]

@@ -227,3 +227,52 @@ def test_direct_head_top_k_two_vehicles():
     d = np.linalg.norm(got[:, None] - c[None], axis=-1)
     assert set(d.argmin(axis=1)) == {0, 1}
     assert (d.min(axis=1) < 0.5).all()
+
+
+def test_direct_surface_center_mode():
+    """center="surface" (cluster surface-point mean + geometric push)
+    with oracle labels on beam-structured scans: decoded centers land
+    near ground truth and at least match the single-pixel "geometric"
+    estimator it refines (the surface mean averages tens of returns, the
+    bbox-center pixel is one)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_beam_scan_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt, valid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(11), 8, 16384
+    )
+    imgs = range_view_project_batch(pts, spec, valid)
+    labels = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec
+    )
+    dcfg = dataclasses.replace(cfg.decode, min_bbox_area=20.0)
+    c = np.asarray(gt["center"])
+    errs, founds = {}, {}
+    for mode in ("surface", "geometric"):
+        out = decode_batch_direct(labels, imgs, spec, dcfg, 1, center=mode)
+        po = np.asarray(out["poses"])[:, 0]
+        founds[mode] = np.asarray(out["found"])[:, 0]
+        errs[mode] = np.linalg.norm(po[:, :2] - c[:, :2], axis=1)
+    # found-ness is cluster gating, identical across center modes (a far
+    # sparse vehicle can drop below min_bbox_area on beam scans)
+    np.testing.assert_array_equal(founds["surface"], founds["geometric"])
+    fd = founds["surface"]
+    assert fd.sum() >= 6, fd
+    # the analytic radial push misfits oblique L-shape views by ~1-1.5 m
+    # even with oracle size/yaw (the well-trained "head" mode is the
+    # exact estimator; "surface" is its robust fallback) — the bound
+    # documents that and catches frame-level blowups
+    assert errs["surface"][fd].mean() < 1.6, errs["surface"]
+    assert (
+        errs["surface"][fd].mean() <= errs["geometric"][fd].mean() + 0.05
+    ), errs

@@ -149,13 +149,38 @@ def config3_fused() -> dict:
         ModelConfig(dtype="bfloat16"), in_channels=3, rngs=nnx.Rngs(1)
     )
     graphdef_b, state_b = nnx.split(bev_fcn)
-    fusion = FusionNet(
-        lidar_model=ModelConfig(dtype="bfloat16"),
-        camera_model=ModelConfig(
-            vertical_stride=2, use_regression=False, dtype="bfloat16"
-        ),
-        rngs=nnx.Rngs(2),
-    )
+    # time the TRAINED fusion asset when it exists (the whole path is one
+    # fallback guard like the detector asset: a corrupt json must not
+    # leave a mismatched architecture half-loaded)
+    import os
+
+    asset = os.path.join(os.path.dirname(__file__), "assets", "fusion_net.npz")
+    fusion = None
+    fusion_weights = "random-init"
+    try:
+        with open(asset + ".json") as f:
+            fmeta = json.load(f)
+        from tpufusion.models.io import load_state_npz
+
+        fusion = FusionNet(
+            lidar_model=ModelConfig(dtype="bfloat16"),
+            camera_model=ModelConfig(
+                vertical_stride=2, use_regression=False, dtype="bfloat16"
+            ),
+            lidar_pool=tuple(fmeta["lidar_pool"]),
+            cam_pool=tuple(fmeta["cam_pool"]),
+            rngs=nnx.Rngs(2),
+        )
+        load_state_npz(asset, fusion)
+        fusion_weights = "trained asset"
+    except Exception:
+        fusion = FusionNet(
+            lidar_model=ModelConfig(dtype="bfloat16"),
+            camera_model=ModelConfig(
+                vertical_stride=2, use_regression=False, dtype="bfloat16"
+            ),
+            rngs=nnx.Rngs(2),
+        )
     graphdef_f, state_f = nnx.split(fusion)
 
     @jax.jit
@@ -190,6 +215,7 @@ def config3_fused() -> dict:
         "value": round(dt * 1e3 / batch, 3),
         "unit": "ms/frame",
         "fps": round(batch / dt, 1),
+        "fusion_weights": fusion_weights,
     }
 
 

@@ -229,6 +229,10 @@ class DecodeConfig:
     #                 visible face of a beam-structured scan sits a
     #                 size-dependent distance in front of the center, so
     #                 the fixed 0.75 m is the wrong constant
+    #   surface     — prob-weighted mean of the cluster's raw surface
+    #                 points + the same geometric push: averaging tens of
+    #                 returns cuts the lateral error that dominates box
+    #                 IoU vs the single bbox-center pixel
     #   head        — probability-weighted average of the per-pixel decoded
     #                 centers (exact inverse of encode_direct_label)
     # Detector assets ship the mode they validated best with.

@@ -541,8 +541,23 @@ def _direct_pose_from_cluster(
     cos_m = jnp.sum(y_pred[..., 9] * w) / tot
     yaw = jnp.arctan2(sin_m, cos_m)
 
+    p = jax.lax.stop_gradient(pixel_points(image, spec))  # (H, W, 3)
+    # prob-weighted mean of the cluster's raw surface points (physical
+    # frame) — the position seed of the "surface" center mode. The heat
+    # cluster covers the label's footprint RECT, so some of its rays miss
+    # the vehicle and hit background clutter tens of meters behind it
+    # (the same contamination the reg-target-norm clip fights in
+    # models/losses.py); gate to returns within a vehicle-depth margin of
+    # the cluster's closest return before averaging.
+    d = image[..., 0]
+    dmin = jnp.min(jnp.where(m, d, jnp.inf))
+    msurf = m & (d <= dmin + 4.0)
+    wsurf = jnp.where(msurf, y_pred[..., 1], 0.0)
+    p_mean = (
+        jnp.sum(p * wsurf[..., None], axis=(0, 1))
+        / jnp.maximum(jnp.sum(wsurf), 1e-6)
+    )
     if with_center:
-        p = pixel_points(image, spec)  # (H, W, 3)
         rot = pixel_rotations(spec)  # (H, W, 3, 3)
         dc = y_pred[..., 2:5]
         c_phys_px = (
@@ -562,7 +577,7 @@ def _direct_pose_from_cluster(
         center = jnp.zeros(3, jnp.float32)
     pose = jnp.concatenate([center, yaw[None], lwh])
     ok = jnp.sum(m) > 0
-    return jnp.where(ok, pose, 0.0), ok
+    return jnp.where(ok, pose, 0.0), ok, p_mean
 
 
 def decode_frame_direct(
@@ -585,7 +600,12 @@ def decode_frame_direct(
     half the box's radial extent along the viewing ray computed from the
     head's own l/w/yaw — on beam-structured scans the visible face sits
     0.8-2.1 m in front of the center depending on aspect, so any constant
-    offset is systematically wrong. "head" uses the head's averaged
+    offset is systematically wrong. "surface" seeds the position from the
+    prob-weighted MEAN of the cluster's raw surface points (instead of
+    the single back-projected bbox-center pixel) before the same
+    geometric push — averaging tens of surface returns cuts the lateral
+    error that dominates box IoU (a 1 m width-direction offset alone caps
+    IoU at ~0.23 for a 4.2x1.6 box). "head" uses the head's averaged
     center too — the exact inverse of encode_direct_label (round-trip
     tested).
 
@@ -593,7 +613,7 @@ def decode_frame_direct(
     (1, 7)/(1,) shaped outputs; squeeze at the call site if needed."""
     if center is None:
         center = cfg.direct_center
-    if center not in ("backproject", "geometric", "head"):
+    if center not in ("backproject", "geometric", "surface", "head"):
         raise ValueError(f"unknown direct_center {center!r}")
     prob = y_pred[..., 1]
     mask, labels, min_x, max_x, min_y, max_y = _heat_components(prob, cfg)
@@ -609,17 +629,20 @@ def decode_frame_direct(
 
     def one(root_id, ok, bbox, cpx):
         cluster = mask & (labels == root_id)
-        pose, nonempty = _direct_pose_from_cluster(
+        pose, nonempty, p_mean = _direct_pose_from_cluster(
             y_pred, image, cluster, spec, cfg,
             with_center=center == "head",
         )
         good = ok & nonempty
         if center != "head":
-            xyz, _, bp_ok = back_project_2d_to_3d(
-                cpx, bbox, image[..., 0], image[..., 1], spec, bp_cfg
-            )
+            if center == "surface":
+                xyz, bp_ok = p_mean, nonempty
+            else:
+                xyz, _, bp_ok = back_project_2d_to_3d(
+                    cpx, bbox, image[..., 0], image[..., 1], spec, bp_cfg
+                )
             yaw = pose[3]
-            if center == "geometric":
+            if center in ("geometric", "surface"):
                 # The physical box heading equals yaw (the orbit
                 # convention rotates the whole corner set, orientation
                 # included — boxes.box_corners_3d), so the box half-extent

@@ -146,12 +146,60 @@ def encode_label_batch(centers, sizes, yaws, images, spec: RangeViewSpec):
 DIRECT_CHANNELS = 8  # dc (3 local-frame), l w h (3), sin yaw, cos yaw
 
 
+def box_surface_mask(
+    center: jax.Array,  # (3,)
+    size: jax.Array,  # (3,)
+    yaw: jax.Array,  # ()
+    image: jax.Array,  # (H, W, >=2)
+    spec: RangeViewSpec = RangeViewSpec(),
+    margin: float = 0.25,
+) -> jax.Array:
+    """(H, W) float32 mask of OCCUPIED pixels whose raw return lies inside
+    the (margin-dilated) physical box.
+
+    The reference's outer-rect footprint (encoder.py:164-168, bbox of the
+    4 projected corners farthest from the projected centroid) degenerates
+    on oblique views: for a broadside vehicle at 12 m the box spans ~100
+    columns but the rect collapses to the ~5 columns of the far-side
+    face — so the fg label itself sits half a vehicle length off-center,
+    and rays through the rect that miss the vehicle label distant clutter
+    as foreground (the contamination reg_target_norm_clip fights). The
+    direct head is a framework extension, so it trains on the actual
+    surface: transform each pixel's return into the box frame and test
+    containment.
+    """
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    c_phys = jnp.stack(
+        [
+            c * center[0] - s * center[1],
+            s * center[0] + c * center[1],
+            center[2],
+        ]
+    )
+    p = pixel_points(image, spec)  # (H, W, 3)
+    rel = p - c_phys[None, None, :]
+    # box frame: the physical box is Rz(yaw) applied to the axis-aligned
+    # box (box_corners_3d), so project rel onto the rotated axes
+    qx = c * rel[..., 0] + s * rel[..., 1]
+    qy = -s * rel[..., 0] + c * rel[..., 1]
+    qz = rel[..., 2]
+    half = size / 2.0 + margin
+    inside = (
+        (jnp.abs(qx) <= half[0])
+        & (jnp.abs(qy) <= half[1])
+        & (jnp.abs(qz) <= half[2])
+    )
+    occupied = image[..., 0] > 0
+    return (inside & occupied).astype(jnp.float32)
+
+
 def encode_direct_label(
     center: jax.Array,  # (3,)
     size: jax.Array,  # (3,)
     yaw: jax.Array,  # ()
     image: jax.Array,  # (H, W, >=2)
     spec: RangeViewSpec = RangeViewSpec(),
+    footprint: str = "surface",
 ) -> jax.Array:
     """(H, W, 2 + 8) target: [bkg, fg, dc(3), lwh(3), sin yaw, cos yaw].
 
@@ -161,8 +209,16 @@ def encode_direct_label(
     reference's orbit-origin convention (box_corners_3d). The sin/cos
     channels are NOT roll-invariant (a roll rotates physical yaw);
     direct-head training disables the roll augmentation.
+
+    footprint="surface" paints fg on the box's actual surface returns
+    (box_surface_mask — the fix for the outer-rect's oblique-view
+    degeneracy); "rect" keeps the reference's outer-rect semantics for
+    comparison.
     """
-    mask = footprint_mask(center, size, yaw, spec)  # (H, W)
+    if footprint == "surface":
+        mask = box_surface_mask(center, size, yaw, image, spec)
+    else:
+        mask = footprint_mask(center, size, yaw, spec)  # (H, W)
     c, s = jnp.cos(yaw), jnp.sin(yaw)
     c_phys = jnp.stack(
         [
@@ -186,8 +242,9 @@ def encode_direct_label(
     return jnp.concatenate([onehot, reg], axis=-1)
 
 
-def encode_direct_label_batch(centers, sizes, yaws, images, spec):
+def encode_direct_label_batch(centers, sizes, yaws, images, spec,
+                              footprint: str = "surface"):
     """vmapped encode_direct_label -> (B, H, W, 10)."""
     return jax.vmap(
-        lambda c, s, y, im: encode_direct_label(c, s, y, im, spec)
+        lambda c, s, y, im: encode_direct_label(c, s, y, im, spec, footprint)
     )(centers, sizes, yaws, images)

@@ -56,22 +56,37 @@ ASSET = os.path.join(
 
 
 def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
-             seed=999, max_yaw=0.05, head="corner", scenes="beam"):
-    pts, gt, vmask = _synth(scenes, jax.random.PRNGKey(seed), batch,
-                            n_points, max_yaw)
-    imgs = range_view_project_batch(pts, spec, vmask)
-    preds = nnx.merge(graphdef, state)(imgs, train=False)
-    if head == "direct":
-        from tpufusion.decode.decode import decode_batch_direct
+             seed=999, max_yaw=0.05, head="corner", scenes="beam",
+             center=None, n_batches=1):
+    """Held-out eval on `n_batches` FIXED seed batches (seed, seed+1, ...).
 
-        outd = decode_batch_direct(preds, imgs, spec, dcfg, 1)
-        po = np.asarray(outd["poses"])[:, 0]
-        fd = np.asarray(outd["found"])[:, 0]
-    else:
-        out = decode_batch(preds, imgs, spec, dcfg)
-        po = np.asarray(out["pose"])
-        fd = np.asarray(out["found"])
-    tr = np.asarray(gt["center"])
+    Config 4's protocol is 128 frames; a single 32-frame batch made the
+    best-asset selection noisy (the round-2 asset's 'best' landed on a
+    step-600 fluke), so the trainer evals 128 frames too."""
+    pos, fds, trs, yws, szs = [], [], [], [], []
+    model = nnx.merge(graphdef, state)
+    for b in range(n_batches):
+        pts, gt, vmask = _synth(scenes, jax.random.PRNGKey(seed + b),
+                                batch, n_points, max_yaw)
+        imgs = range_view_project_batch(pts, spec, vmask)
+        preds = model(imgs, train=False)
+        if head == "direct":
+            from tpufusion.decode.decode import decode_batch_direct
+
+            outd = decode_batch_direct(preds, imgs, spec, dcfg, 1, center)
+            pos.append(np.asarray(outd["poses"])[:, 0])
+            fds.append(np.asarray(outd["found"])[:, 0])
+        else:
+            out = decode_batch(preds, imgs, spec, dcfg)
+            pos.append(np.asarray(out["pose"]))
+            fds.append(np.asarray(out["found"]))
+        trs.append(np.asarray(gt["center"]))
+        yws.append(np.asarray(gt["yaw"]))
+        szs.append(np.asarray(gt["size"]))
+    po, fd = np.concatenate(pos), np.concatenate(fds)
+    tr = np.concatenate(trs)
+    gt = {"center": tr, "yaw": np.concatenate(yws),
+          "size": np.concatenate(szs)}
     d = np.linalg.norm(po[:, :2] - tr[:, :2], axis=1)
     det = float(fd.mean())
     within2 = float((d < 2.0)[fd].mean()) if fd.any() else 0.0
@@ -82,10 +97,14 @@ def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
         [tr, np.asarray(gt["yaw"])[:, None], np.asarray(gt["size"])], axis=1
     )
     sc = score_poses(po, truth)
+    # VERDICT-r2-aligned selection score: the round-3 targets are IoU
+    # >= 0.4, recall@0.25 >= 0.7, xy <= 1.5 m — weight IoU up so the
+    # box-quality axis drives best-asset selection, gated by detection
     return {"det": det, "xy_err": err, "within2m": within2,
             "mean_iou": float(sc["mean_iou"]),
             "recall_iou25": float(sc["recall@iou0.25"]),
-            "score": det * (within2 + float(sc["recall@iou0.25"]))}
+            "score": det * (within2 + float(sc["recall@iou0.25"])
+                            + 2.0 * float(sc["mean_iou"]))}
 
 
 def deployment_decode(base, min_prob: float, min_bbox_area: float):
@@ -107,6 +126,9 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--n_points", type=int, default=32768)
     ap.add_argument("--eval_every", type=int, default=200)
+    # 4 x batch-32 fixed seed batches = 128 held-out frames, config 4's
+    # protocol size; one batch made best-asset selection fluke-prone
+    ap.add_argument("--eval_batches", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=ASSET)
     # W1 background-weight boost: at ratio*1 the class-balanced loss makes
@@ -158,8 +180,9 @@ def main(argv=None):
                             head=args.head),
         in_channels=3, rngs=nnx.Rngs(0),
     )
+    warmup = min(50, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, 50, args.steps, args.lr * 0.03
+        0.0, args.lr, warmup, args.steps, args.lr * 0.03
     )
     opt = nnx.Optimizer(model, optax.adam(sched), wrt=nnx.Param)
 
@@ -204,18 +227,45 @@ def main(argv=None):
         loss, _ = step(model, opt, batch, sub)
         if s % args.eval_every == 0 or s == args.steps:
             _, state = nnx.split(model)
-            ev = evaluate(graphdef, state, spec, dcfg,
-                          args.batch, args.n_points, max_yaw=args.max_yaw,
-                          head=args.head, scenes=args.scenes)
+            # which center estimator wins flips as the head trains (the
+            # averaged head center starts biased, then overtakes the
+            # geometric push once l/w/yaw converge) — evaluate all and
+            # ship the winning mode in the asset json
+            modes = (
+                ("surface", "geometric", "head", "backproject")
+                if args.head == "direct" else (None,)
+            )
+            evs = {
+                m: evaluate(graphdef, state, spec, dcfg,
+                            args.batch, args.n_points,
+                            max_yaw=args.max_yaw, head=args.head,
+                            scenes=args.scenes, center=m,
+                            n_batches=args.eval_batches)
+                for m in modes
+            }
+            mode = max(evs, key=lambda m: evs[m]["score"])
+            ev = evs[mode]
             print(
                 f"step {s}: loss {float(loss):.3f} det {ev['det']:.2f} "
                 f"xy_err {ev['xy_err']:.2f} within2m {ev['within2m']:.2f} "
                 f"iou {ev['mean_iou']:.2f} r25 {ev['recall_iou25']:.2f} "
-                f"({time.time() - t0:.0f}s)", flush=True,
+                f"[{mode}"
+                + "".join(f" {m}:{evs[m]['score']:.2f}" for m in evs)
+                + f"] ({time.time() - t0:.0f}s)", flush=True,
             )
             if ev["score"] > best["score"]:
-                best = {**ev, "step": s}
+                best = {**ev, "step": s, "center": mode}
                 save_state_npz(args.out, model)
+                _write_asset_json(args, best)
+    _write_asset_json(args, best)
+    print("best:", best, "->", args.out)
+
+
+def _write_asset_json(args, best):
+    decode = {"min_prob": args.eval_min_prob,
+              "min_bbox_area": args.eval_min_bbox_area}
+    if "center" in best and best["center"]:
+        decode["direct_center"] = best["center"]
     with open(args.out + ".json", "w") as f:
         json.dump({"best": best, "steps": args.steps,
                    "scenes": args.scenes,
@@ -223,13 +273,11 @@ def main(argv=None):
                    "batch": args.batch, "n_points": args.n_points,
                    "w1_boost": args.w1_boost,
                    "weight_bb": args.weight_bb,
-                   "decode": {"min_prob": args.eval_min_prob,
-                              "min_bbox_area": args.eval_min_bbox_area},
+                   "decode": decode,
                    "model": {"reg_output_activation": args.reg_activation,
                              "width_multiplier": args.width_mult,
                              "head": args.head}},
                   f)
-    print("best:", best, "->", args.out)
 
 
 if __name__ == "__main__":

@@ -248,3 +248,78 @@ def test_track_quality_metrics_counts_switches_and_spurious():
     assert q["id_switches"] == 1
     assert q["fragmentation"] == 1
     assert q["coverage"] == 1.0
+
+
+def test_live_viewer_serves_frames_and_stream():
+    """The browser live viewer (serve/viewer.py — the headless stand-in
+    for the reference's pyglet windows): index lists pushed windows,
+    /frame returns the latest JPEG, /stream yields an MJPEG part."""
+    import urllib.request
+
+    import numpy as np
+
+    from tpufusion.serve.viewer import LiveViewer
+
+    with LiveViewer(port=0, host="127.0.0.1") as v:
+        v.push("range_view", np.random.default_rng(0).uniform(
+            0, 1, (32, 64, 3)))
+        base = f"http://127.0.0.1:{v.port}"
+        html = urllib.request.urlopen(f"{base}/", timeout=5).read()
+        assert b"range_view" in html
+        jpg = urllib.request.urlopen(
+            f"{base}/frame/range_view", timeout=5).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG SOI
+        r = urllib.request.urlopen(f"{base}/stream/range_view", timeout=5)
+        head = r.read(200)
+        assert b"--frame" in head and b"image/jpeg" in head
+        r.close()
+        # unknown window 404s rather than hanging
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"{base}/frame/nope", timeout=5)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+
+def test_view_dataset_replays_raw_npz(tmp_path):
+    """cli view on a raw points npz streams range_view + bev windows
+    end-to-end (one pass, fast rate, ephemeral port)."""
+    import threading
+    import urllib.request
+
+    import jax
+    import numpy as np
+
+    from tpufusion.data.synthetic import synthesize_points_batch
+    from tpufusion.serve import viewer as viewer_mod
+
+    pts, _ = synthesize_points_batch(jax.random.PRNGKey(0), 2, 2048)
+    raw = tmp_path / "raw.npz"
+    np.savez(raw, points=np.asarray(pts))
+
+    grabbed = {}
+    orig_start = viewer_mod.LiveViewer.start
+
+    def start_and_grab(self):
+        orig_start(self)
+        grabbed["viewer"] = self
+        return self
+
+    viewer_mod.LiveViewer.start = start_and_grab
+    try:
+        t = threading.Thread(
+            target=viewer_mod.view_dataset,
+            args=(str(raw),),
+            kwargs={"port": 0, "rate_hz": 1000.0},
+        )
+        t.start()
+        t.join(timeout=120)
+        assert not t.is_alive()
+    finally:
+        viewer_mod.LiveViewer.start = orig_start
+    v = grabbed["viewer"]
+    # frames persist after stop? server is down; check the cache directly
+    assert {"range_view", "bev"} <= set(v._frames)
+    assert v._frames["range_view"][:2] == b"\xff\xd8"

@@ -340,6 +340,18 @@ def _cmd_edges(args):
     print(json.dumps({"output": args.output}))
 
 
+def _cmd_view(args):
+    from tpufusion.serve.viewer import view_dataset
+
+    view_dataset(
+        args.path,
+        checkpoint=args.checkpoint,
+        port=args.port,
+        rate_hz=args.rate,
+        loop=args.loop,
+    )
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="tpufusion")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -469,6 +481,19 @@ def main(argv=None):
     ed.add_argument("--t1", type=float, default=100.0)
     ed.add_argument("--t2", type=float, default=200.0)
     ed.set_defaults(fn=_cmd_edges)
+
+    vw = sub.add_parser(
+        "view",
+        help="live browser viewer: replay a dataset's renders over HTTP "
+        "(the headless stand-in for the pyglet bag viewers)",
+    )
+    vw.add_argument("path", help="extracted dataset dir or raw points .npz")
+    vw.add_argument("--checkpoint", default=None,
+                    help="stream the class-mask window too")
+    vw.add_argument("--port", type=int, default=8642)
+    vw.add_argument("--rate", type=float, default=10.0)
+    vw.add_argument("--loop", action="store_true")
+    vw.set_defaults(fn=_cmd_view)
 
     args = p.parse_args(argv)
     args.fn(args)

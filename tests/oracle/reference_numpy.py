@@ -97,6 +97,37 @@ def outer_rect(center, size, yaw):
     return (pts[:, 0].min(), pts[:, 1].min()), (pts[:, 0].max(), pts[:, 1].max())
 
 
+def inner_rect(center, size, yaw):
+    pts = sorted_corners_2d(center, size, yaw)[:4]
+    return (pts[:, 0].min(), pts[:, 1].min()), (pts[:, 0].max(), pts[:, 1].max())
+
+
+def footprint_label(center, size, yaw, shape, method="outer_rect"):
+    """(H, W) 0/1 fg mask per the reference's generate_label /
+    generate_label_from_circle loop semantics (encoder.py:124-143,
+    156-168), incl. python slice/range negative wrap."""
+    h, w = shape
+    label = np.zeros((h, w))
+    if method == "circle":
+        (ul_x, ul_y), (lr_x, lr_y) = inner_rect(center, size, yaw)
+        dim_x, dim_y = lr_x - ul_x, lr_y - ul_y
+        r = min(dim_x, dim_y)
+        cx, cy = ul_x + dim_x / 2.0, ul_y + dim_y / 2.0
+        ul_x, ul_y = cx - r / 2.0, cy - r / 2.0
+        lr_x, lr_y = cx + r / 2.0, cy + r / 2.0
+        rad = min((lr_y - ul_y) / 2.0, (lr_x - ul_x) / 2.0)
+        pcx, pcy = project_2d(*center)
+        for x in range(int(ul_x), int(lr_x)):
+            for y in range(int(ul_y), int(lr_y)):
+                if np.hypot(pcx - x, pcy - y) <= rad:
+                    label[y, x] = 1
+        return label
+    rect = {"outer_rect": outer_rect, "inner_rect": inner_rect}[method]
+    (ul_x, ul_y), (lr_x, lr_y) = rect(center, size, yaw)
+    label[ul_y:lr_y, ul_x:lr_x] = 1
+    return label
+
+
 def pixel_rotation(theta, phi):
     ct, st = np.cos(theta), np.sin(theta)
     cp, sp = np.cos(phi), np.sin(phi)

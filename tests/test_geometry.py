@@ -277,3 +277,35 @@ def test_sort16_and_exact_and_scatter_identical(rng):
         c = np.asarray(range_view_project(jnp.asarray(pts), spec, None, "scatter"))
         np.testing.assert_array_equal(a, b)
         np.testing.assert_array_equal(a, c)
+
+
+def test_footprint_mask_methods_match_oracle():
+    """All three reference label footprints (outer_rect / inner_rect /
+    circle, encoder.py:124-168) match an independent numpy re-statement
+    of the reference's paint loops, including the circle's
+    centroid-centered disk inside the inner-rect-centered square."""
+    import jax.numpy as jnp
+
+    from tests.oracle import reference_numpy as oracle
+    from tpufusion.geometry.encoding import footprint_mask
+
+    spec = RangeViewSpec()
+    boxes = [
+        ((12.0, 3.0, -0.7), (4.2, 1.6, 1.5), 0.0),
+        ((20.0, -8.0, -0.6), (4.2, 1.6, 1.5), 0.3),
+        ((9.0, 9.0, -0.8), (5.0, 2.0, 1.8), -0.8),
+        ((25.0, 0.5, -0.7), (4.2, 1.6, 1.5), 1.2),
+    ]
+    for center, size, yaw in boxes:
+        for method in ("outer_rect", "inner_rect", "circle"):
+            got = np.asarray(
+                footprint_mask(
+                    jnp.asarray(center), jnp.asarray(size),
+                    jnp.asarray(yaw), spec, method,
+                )
+            )
+            want = oracle.footprint_label(
+                np.asarray(center), np.asarray(size), float(yaw),
+                (spec.height, spec.width), method,
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"{method} {center}")

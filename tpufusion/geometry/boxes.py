@@ -135,3 +135,16 @@ def inner_rect(center, size, yaw, spec: RangeViewSpec):
 def outer_rect(center, size, yaw, spec: RangeViewSpec):
     """bbox of the 4 corners farthest from the centroid (encoder.py:100-108)."""
     return _rect_of(sorted_projected_corners(center, size, yaw, spec)[-4:])
+
+
+def circle_rect(center, size, yaw, spec: RangeViewSpec):
+    """Square of side min(inner-rect dims) centered on the inner rect
+    (encoder.py:111-122). Float bounds — the reference divides by 2
+    without truncating until the paint loop."""
+    ul_x, ul_y, lr_x, lr_y = inner_rect(center, size, yaw, spec)
+    dim_x = (lr_x - ul_x).astype(jnp.float32)
+    dim_y = (lr_y - ul_y).astype(jnp.float32)
+    r = jnp.minimum(dim_x, dim_y)
+    cx = ul_x.astype(jnp.float32) + dim_x / 2
+    cy = ul_y.astype(jnp.float32) + dim_y / 2
+    return cx - r / 2, cy - r / 2, cx + r / 2, cy + r / 2

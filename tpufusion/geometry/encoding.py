@@ -20,7 +20,15 @@ import jax
 import jax.numpy as jnp
 
 from tpufusion.config import RangeViewSpec
-from tpufusion.geometry.boxes import box_corners_3d, outer_rect, rot_y, rot_z
+from tpufusion.geometry.boxes import (
+    box_corners_3d,
+    circle_rect,
+    inner_rect,
+    outer_rect,
+    project_2d,
+    rot_y,
+    rot_z,
+)
 
 
 def pixel_angles(spec: RangeViewSpec, col_start=0, width: int | None = None):
@@ -70,12 +78,41 @@ def _pyslice_mask(lo, hi, n: int, idx: jax.Array) -> jax.Array:
     return (idx >= lo) & (idx < hi)
 
 
-def footprint_mask(center, size, yaw, spec: RangeViewSpec) -> jax.Array:
-    """(H, W) float32 0/1 mask of the outer-rect footprint
-    (encoder.py:164-168)."""
-    ul_x, ul_y, lr_x, lr_y = outer_rect(center, size, yaw, spec)
+def footprint_mask(
+    center, size, yaw, spec: RangeViewSpec, method: str = "outer_rect"
+) -> jax.Array:
+    """(H, W) float32 0/1 mask of the classification footprint.
+
+    The reference's three label methods (`get_label_bounds`,
+    encoder.py:145-154): "outer_rect" (bbox of the 4 projected corners
+    farthest from the projected centroid — the training default),
+    "inner_rect" (the 4 nearest), and "circle" (a disk of radius
+    min(circle-rect half-dims) around the PROJECTED CENTROID, painted
+    inside the circle rect — encoder.py:124-143; note the disk centers on
+    the centroid while the rect centers on the inner rect, a faithful
+    quirk)."""
     rows = jnp.arange(spec.height, dtype=jnp.int32)
     cols = jnp.arange(spec.width, dtype=jnp.int32)
+    if method == "circle":
+        ul_x, ul_y, lr_x, lr_y = circle_rect(center, size, yaw, spec)
+        # the reference paints with `for x in range(int(ul), int(lr))` +
+        # label[y, x] — python range + negative-index wrap. The virtual
+        # coordinate vx = ul + (c - ul) mod W maps each wrapped column
+        # back to its loop value so the centroid-distance test matches.
+        ul_xi, lr_xi = ul_x.astype(jnp.int32), lr_x.astype(jnp.int32)
+        ul_yi, lr_yi = ul_y.astype(jnp.int32), lr_y.astype(jnp.int32)
+        vx = ul_xi + jnp.mod(cols - ul_xi, spec.width)
+        vy = ul_yi + jnp.mod(rows - ul_yi, spec.height)
+        in_rect = (vy[:, None] < lr_yi) & (vx[None, :] < lr_xi)
+        r = jnp.minimum(lr_y - ul_y, lr_x - ul_x) / 2.0
+        pcol, prow = project_2d(center[0], center[1], center[2], spec)
+        dist2 = (
+            (vx[None, :] - pcol).astype(jnp.float32) ** 2
+            + (vy[:, None] - prow).astype(jnp.float32) ** 2
+        )
+        return (in_rect & (dist2 <= r * r)).astype(jnp.float32)
+    rect = {"outer_rect": outer_rect, "inner_rect": inner_rect}[method]
+    ul_x, ul_y, lr_x, lr_y = rect(center, size, yaw, spec)
     rmask = _pyslice_mask(ul_y, lr_y, spec.height, rows)
     cmask = _pyslice_mask(ul_x, lr_x, spec.width, cols)
     return (rmask[:, None] & cmask[None, :]).astype(jnp.float32)
@@ -87,16 +124,19 @@ def encode_label(
     yaw: jax.Array,  # ()
     image: jax.Array,  # (H, W, >=2) distance/height channels
     spec: RangeViewSpec = RangeViewSpec(),
+    method: str = "outer_rect",
 ) -> jax.Array:
     """One frame's training target: (H, W, 2 + 24) float32.
 
-    Channels 0..1 = one-hot (background, foreground); 2..25 = per-pixel
-    local-frame corner offsets, zero outside the footprint. The reference
-    returns the same content flattened to (H*W, 26) and — bug — cast to
-    uint8, which destroys the regression targets (`loader.py:251`); we keep
-    float32 and note the divergence.
+    Channels 0..1 = one-hot (background, foreground) from the `method`
+    footprint (outer_rect / inner_rect / circle, like generate_label's
+    method param); 2..25 = per-pixel local-frame corner offsets, zero
+    outside the footprint. The reference returns the same content
+    flattened to (H*W, 26) and — bug — cast to uint8, which destroys the
+    regression targets (`loader.py:251`); we keep float32 and note the
+    divergence.
     """
-    mask = footprint_mask(center, size, yaw, spec)  # (H, W)
+    mask = footprint_mask(center, size, yaw, spec, method)  # (H, W)
 
     corners = box_corners_3d(center, size, yaw)  # (8, 3)
     p = pixel_points(image, spec)  # (H, W, 3)

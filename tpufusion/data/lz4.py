@@ -30,6 +30,16 @@ _LAST_LITERALS = 5
 
 
 def lz4_block_decompress(src: bytes, max_size: int | None = None) -> bytes:
+    from tpufusion.native import get_fastpoints
+
+    fp = get_fastpoints()
+    if fp is not None and hasattr(fp, "lz4_decompress"):
+        out = fp.lz4_decompress(
+            bytes(src), -1 if max_size is None else max_size
+        )
+        if max_size is not None and len(out) > max_size:
+            raise ValueError("lz4: output exceeds declared size")
+        return out
     dst = bytearray()
     i, n = 0, len(src)
     while i < n:

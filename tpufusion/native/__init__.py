@@ -50,12 +50,26 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when the built extension predates fastpoints.c (an old .so
+    would import fine but miss newer functions)."""
+    import sysconfig
+
+    suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
+    out = os.path.join(_DIR, "_fastpoints" + suffix)
+    src = os.path.join(_DIR, "fastpoints.c")
+    return os.path.exists(out) and (
+        os.path.getmtime(out) < os.path.getmtime(src)
+    )
+
+
 def get_fastpoints():
-    """The _fastpoints module, building it if needed; None if unavailable."""
+    """The _fastpoints module, (re)building it if needed; None if
+    unavailable."""
     global _build_attempted
     if _fastpoints is not None:
         return _fastpoints
-    if _try_import() is not None:
+    if not _stale() and _try_import() is not None:
         return _fastpoints
     if not _build_attempted:
         _build_attempted = True

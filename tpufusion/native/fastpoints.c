@@ -15,6 +15,7 @@
 #include <Python.h>
 #include <stdint.h>
 #include <string.h>
+#include <stdlib.h>
 
 /* PointField datatype codes (sensor_msgs/PointField) */
 enum {
@@ -103,9 +104,106 @@ static PyObject *unpack(PyObject *self, PyObject *args) {
   return out_bytes;
 }
 
+/* lz4_decompress(src: bytes, hint: int = -1) -> bytes
+ *
+ * LZ4 *block* format decode (the payload of roslz4 frame blocks): per
+ * sequence a token byte (literal-length high nibble, match-length low
+ * nibble), 255-continuation extensions, literals, LE u16 match offset,
+ * match length + 4. `hint` preallocates the output (bag chunks carry
+ * their decompressed size); growth doubles past it. Mirrors
+ * tpufusion/data/lz4.py::lz4_block_decompress, which stays the
+ * fallback when the extension is unbuilt. */
+static PyObject *lz4_decompress(PyObject *self, PyObject *args) {
+  Py_buffer data;
+  Py_ssize_t hint = -1;
+  if (!PyArg_ParseTuple(args, "y*|n", &data, &hint))
+    return NULL;
+  const uint8_t *src = (const uint8_t *)data.buf;
+  Py_ssize_t n = data.len;
+
+  Py_ssize_t cap = hint > 0 ? hint : (n * 3 + 64);
+  uint8_t *dst = (uint8_t *)malloc(cap);
+  if (!dst) {
+    PyBuffer_Release(&data);
+    return PyErr_NoMemory();
+  }
+  Py_ssize_t len = 0;
+  const char *err = NULL;
+
+  Py_BEGIN_ALLOW_THREADS
+  Py_ssize_t i = 0;
+  while (i < n) {
+    unsigned token = src[i++];
+    Py_ssize_t lit = token >> 4;
+    if (lit == 15) {
+      unsigned b;
+      do {
+        if (i >= n) { err = "lz4: truncated literal length"; goto done; }
+        b = src[i++];
+        lit += b;
+      } while (b == 255);
+    }
+    if (i + lit > n) { err = "lz4: literal run past end of input"; goto done; }
+    if (len + lit > cap) {
+      Py_ssize_t nc = cap * 2 + lit;
+      uint8_t *nd = (uint8_t *)realloc(dst, nc);
+      if (!nd) { err = "oom"; goto done; }
+      dst = nd; cap = nc;
+    }
+    memcpy(dst + len, src + i, lit);
+    len += lit; i += lit;
+    if (i >= n) break; /* last sequence has no match */
+
+    if (i + 2 > n) { err = "lz4: truncated match offset"; goto done; }
+    Py_ssize_t off = src[i] | ((Py_ssize_t)src[i + 1] << 8);
+    i += 2;
+    if (off == 0 || off > len) { err = "lz4: invalid match offset"; goto done; }
+    Py_ssize_t mlen = (token & 15);
+    if (mlen == 15) {
+      unsigned b;
+      do {
+        if (i >= n) { err = "lz4: truncated match length"; goto done; }
+        b = src[i++];
+        mlen += b;
+      } while (b == 255);
+    }
+    mlen += 4;
+    if (len + mlen > cap) {
+      Py_ssize_t nc = cap * 2 + mlen;
+      uint8_t *nd = (uint8_t *)realloc(dst, nc);
+      if (!nd) { err = "oom"; goto done; }
+      dst = nd; cap = nc;
+    }
+    if (off >= mlen) {
+      memcpy(dst + len, dst + len - off, mlen);
+      len += mlen;
+    } else {
+      /* overlapping match: RLE-style byte copy */
+      for (Py_ssize_t k = 0; k < mlen; k++, len++)
+        dst[len] = dst[len - off];
+    }
+  }
+done:;
+  Py_END_ALLOW_THREADS
+
+  PyBuffer_Release(&data);
+  if (err) {
+    free(dst);
+    if (err[0] == 'o')
+      return PyErr_NoMemory();
+    PyErr_SetString(PyExc_ValueError, err);
+    return NULL;
+  }
+  PyObject *out = PyBytes_FromStringAndSize((const char *)dst, len);
+  free(dst);
+  return out;
+}
+
 static PyMethodDef Methods[] = {
     {"unpack", unpack, METH_VARARGS,
      "Fused strided PointCloud2 field extraction to float32 rows."},
+    {"lz4_decompress", lz4_decompress, METH_VARARGS,
+     "LZ4 block decode (roslz4 chunk payloads)."},
     {NULL, NULL, 0, NULL}};
 
 static struct PyModuleDef moduledef = {

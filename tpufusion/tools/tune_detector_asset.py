@@ -1,0 +1,121 @@
+"""Tune a detector asset's decode operating point on held-out scenes.
+
+The reference hard-coded its decode thresholds (min_prob 0.5,
+min_bbox_area 100, `modules/lidar/train/predict.py:28-31`) to its real
+bags; tpufusion assets ship WITH the operating point they validated at
+(asset json "decode", applied by tpufusion.benchmarks). This tool sweeps
+(min_prob x min_bbox_area x center mode) for a trained asset on the
+128-frame fixed protocol, confirms the winner on a second disjoint
+seed set (operating points overfit too), and rewrites the asset json.
+
+Run: python -m tpufusion.tools.tune_detector_asset [--asset ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+from flax import nnx
+
+from tpufusion.config import DEFAULT
+from tpufusion.models.fcn import FCN
+from tpufusion.models.io import load_state_npz
+from tpufusion.tools.train_synthetic_detector import ASSET, evaluate
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--asset", default=ASSET)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--n_points", type=int, default=32768)
+    ap.add_argument("--eval_batches", type=int, default=4)
+    ap.add_argument("--confirm_seed", type=int, default=5999,
+                    help="disjoint seed base for the confirmation eval")
+    ap.add_argument("--write", action=argparse.BooleanOptionalAction,
+                    default=True, help="rewrite the asset json with the winner")
+    args = ap.parse_args(argv)
+
+    with open(args.asset + ".json") as f:
+        meta = json.load(f)
+    mcfg = meta["model"]
+    head = mcfg.get("head", "corner")
+    model = FCN(
+        dataclasses.replace(
+            DEFAULT.model, dtype="bfloat16",
+            reg_output_activation=mcfg.get("reg_output_activation", "relu"),
+            width_multiplier=mcfg.get("width_multiplier", 1),
+            head=head,
+        ),
+        in_channels=3, rngs=nnx.Rngs(0),
+    )
+    load_state_npz(args.asset, model)
+    graphdef, state = nnx.split(model)
+    spec = DEFAULT.range_view
+    scenes = meta.get("scenes", "beam")
+    max_yaw = meta.get("max_yaw", 0.05)
+
+    probs = (0.5, 0.7, 0.8, 0.9)
+    areas = (8.0, 12.0, 20.0, 40.0)
+    modes = (
+        ("surface", "head", "geometric", "backproject")
+        if head == "direct" else (None,)
+    )
+    rows = []
+    for mp in probs:
+        for ar in areas:
+            dcfg = dataclasses.replace(
+                DEFAULT.decode, min_prob=mp, min_bbox_area=ar
+            )
+            for mode in modes:
+                ev = evaluate(
+                    graphdef, state, spec, dcfg, args.batch, args.n_points,
+                    max_yaw=max_yaw, head=head, scenes=scenes, center=mode,
+                    n_batches=args.eval_batches,
+                )
+                rows.append({"min_prob": mp, "min_bbox_area": ar,
+                             "center": mode, **ev})
+                print(
+                    f"p>={mp} area>={ar} {mode or '-':<11} "
+                    f"det {ev['det']:.2f} iou {ev['mean_iou']:.3f} "
+                    f"r25 {ev['recall_iou25']:.2f} xy {ev['xy_err']:.2f} "
+                    f"score {ev['score']:.3f}", flush=True,
+                )
+
+    best = max(rows, key=lambda r: r["score"])
+    print("\nbest on protocol:", json.dumps(best))
+
+    dcfg = dataclasses.replace(
+        DEFAULT.decode, min_prob=best["min_prob"],
+        min_bbox_area=best["min_bbox_area"],
+    )
+    confirm = evaluate(
+        graphdef, state, spec, dcfg, args.batch, args.n_points,
+        max_yaw=max_yaw, head=head, scenes=scenes, center=best["center"],
+        seed=args.confirm_seed, n_batches=args.eval_batches,
+    )
+    print("confirmation (disjoint seeds):", json.dumps(confirm))
+
+    if args.write:
+        meta["decode"] = {"min_prob": best["min_prob"],
+                          "min_bbox_area": best["min_bbox_area"]}
+        if best["center"]:
+            meta["decode"]["direct_center"] = best["center"]
+        step = meta.get("best", {}).get("step")
+        meta["best"] = {
+            k: best[k]
+            for k in ("det", "xy_err", "within2m", "mean_iou",
+                      "recall_iou25", "score")
+        }
+        meta["best"]["center"] = best["center"]
+        meta["best"]["step"] = step
+        meta["confirmation"] = confirm
+        with open(args.asset + ".json", "w") as f:
+            json.dump(meta, f)
+        print("asset json updated ->", args.asset + ".json")
+
+
+if __name__ == "__main__":
+    main()

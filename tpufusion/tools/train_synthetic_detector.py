@@ -232,7 +232,8 @@ def main(argv=None):
             # geometric push once l/w/yaw converge) — evaluate all and
             # ship the winning mode in the asset json
             modes = (
-                ("surface", "geometric", "head", "backproject")
+                ("consensus", "silhouette", "surface", "geometric", "head",
+                 "backproject")
                 if args.head == "direct" else (None,)
             )
             evs = {

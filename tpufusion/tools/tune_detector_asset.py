@@ -60,7 +60,8 @@ def main(argv=None):
     probs = (0.5, 0.7, 0.8, 0.9)
     areas = (8.0, 12.0, 20.0, 40.0)
     modes = (
-        ("surface", "head", "geometric", "backproject")
+        ("consensus", "silhouette", "surface", "head", "geometric",
+         "backproject")
         if head == "direct" else (None,)
     )
     rows = []

@@ -124,3 +124,39 @@ def test_replay_harness(rng):
     assert poses.shape == (8, 7)
     s = stats.summary()
     assert s["frames"] == 8 and s["fps"] > 0
+
+
+def test_plateau_decay_is_per_epoch():
+    """make_fusion_tx must apply the Keras ReduceLROnPlateau semantics:
+    the plateau test compares EPOCH-mean losses, not raw per-step batch
+    losses (which are noisy enough to halve the LR inside epoch 0 — the
+    measured loss-frozen-at-101 bug on the 512-frame fusion run)."""
+    from tpufusion.train.fusion_trainer import make_fusion_tx
+
+    spe = 64  # steps per epoch at 512 frames / batch 8
+    tx = make_fusion_tx(1e-3, spe)
+    params = {"w": jnp.zeros(3)}
+    grads = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    rng = np.random.default_rng(0)
+
+    def plateau(state):
+        return float(state[1].scale)
+
+    @jax.jit
+    def upd(state, value):
+        return tx.update(grads, state, params, value=value)[1]
+
+    # three epochs of noisy but steadily improving batch losses: under
+    # per-step patience the +/-5 noise triggers repeated halvings; the
+    # per-epoch accumulation must leave the scale untouched.
+    for epoch in range(3):
+        base = 100.0 - 30.0 * epoch
+        for _ in range(spe):
+            state = upd(state, jnp.float32(base + rng.uniform(-5.0, 5.0)))
+    assert plateau(state) == 1.0
+
+    # genuinely plateaued epochs DO reduce (patience=3 epochs, factor .5)
+    for _ in range(6 * spe):
+        state = upd(state, jnp.float32(10.0))
+    assert plateau(state) <= 0.5

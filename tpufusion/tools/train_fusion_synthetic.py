@@ -100,8 +100,24 @@ def render_camera_frames(
     return out
 
 
-def build_dataset(n_frames: int, seed: int, spec: RangeViewSpec):
-    """Aligned (cam, lidar, radar, targets) arrays for n_frames scenes."""
+def build_dataset(
+    n_frames: int, seed: int, spec: RangeViewSpec, cache_dir: str | None = None
+):
+    """Aligned (cam, lidar, radar, targets) arrays for n_frames scenes.
+
+    Building 512 frames costs ~8 min (beam-scan synthesis + projection +
+    camera render); cache_dir memoizes the result keyed on (n_frames,
+    seed) so training iterations don't repay it.
+    """
+    if cache_dir:
+        path = os.path.join(cache_dir, f"fusion_ds_{n_frames}_{seed}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                return {k: z[k] for k in z.files}
+        data = build_dataset(n_frames, seed, spec, cache_dir=None)
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, **data)
+        return data
     from tpufusion.train.fusion_trainer import build_fusion_batches
 
     cam = make_camera()
@@ -172,12 +188,17 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=ASSET)
+    ap.add_argument("--cache_dir", default="/tmp/fusion_ds_cache")
     args = ap.parse_args(argv)
 
     spec = RangeViewSpec()
     t0 = time.time()
-    train = build_dataset(args.train_frames, seed=11, spec=spec)
-    held = build_dataset(args.eval_frames, seed=999, spec=spec)
+    train = build_dataset(
+        args.train_frames, seed=11, spec=spec, cache_dir=args.cache_dir
+    )
+    held = build_dataset(
+        args.eval_frames, seed=999, spec=spec, cache_dir=args.cache_dir
+    )
     held_rows = np.arange(len(held["cam"]))
     print(f"datasets built ({time.time() - t0:.0f}s)", flush=True)
 

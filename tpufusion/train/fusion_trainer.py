@@ -59,6 +59,26 @@ def make_fusion_train_step():
     return step
 
 
+def make_fusion_tx(lr: float, steps_per_epoch: int):
+    """adam + Keras-style ReduceLROnPlateau (train_fcn.py:442-443).
+
+    Keras applies the plateau test once per EPOCH on the epoch's loss;
+    the optax transform sees per-step batch losses, so accumulate a full
+    epoch of them before comparing (accumulation_size) and wait
+    patience=3 epochs. Raw per-step patience collapses the LR inside the
+    first epoch on any dataset larger than a few batches (measured: a
+    512-frame run froze at loss 101 by epoch 1).
+    """
+    return optax.chain(
+        optax.adam(lr),
+        optax.contrib.reduce_on_plateau(
+            patience=3, factor=0.5,
+            accumulation_size=steps_per_epoch,
+            cooldown=steps_per_epoch,
+        ),
+    )
+
+
 def train_fusion(
     net: FusionNet,
     data: dict[str, np.ndarray],
@@ -72,15 +92,12 @@ def train_fusion(
     wrt = nnx.Param
     if lock_lidar or lock_camera:
         wrt = trainable_filter(lock_lidar, lock_camera)
-    # adam + Keras-style ReduceLROnPlateau (train_fcn.py:442-443)
-    tx = optax.chain(
-        optax.adam(lr),
-        optax.contrib.reduce_on_plateau(patience=3, factor=0.5),
-    )
+    n = len(data["cam"])
+    steps_per_epoch = max(1, (max(n - batch_size, 0)) // batch_size + 1)
+    tx = make_fusion_tx(lr, steps_per_epoch)
     opt = nnx.Optimizer(net, tx, wrt=wrt)
     step = make_fusion_train_step()
     rng = np.random.default_rng(seed)
-    n = len(data["cam"])
     losses = []
     for epoch in range(epochs):
         order = rng.permutation(n)

@@ -323,3 +323,25 @@ def test_view_dataset_replays_raw_npz(tmp_path):
     # frames persist after stop? server is down; check the cache directly
     assert {"range_view", "bev"} <= set(v._frames)
     assert v._frames["range_view"][:2] == b"\xff\xd8"
+
+
+def test_tracker_intermittent_clutter_not_confirmed():
+    """Clutter firing every 3rd frame keeps passing min_hits but must
+    fail the hit-RATIO gate. Regression: tracks used to age only inside
+    the association loop (which breaks early once all detections match
+    and never runs on empty frames), so intermittent clutter held
+    hits/age ~ 1.0 and confirmed anyway."""
+    from tpufusion.serve.tracker import PoseTracker
+
+    f = 12
+    poses = np.zeros((f, 2, 7))
+    found = np.zeros((f, 2), bool)
+    poses[:, 0, :3] = [15.0, 2.0, -0.7]  # persistent vehicle
+    found[:, 0] = True
+    poses[:, 1, :3] = [30.0, -5.0, -0.7]  # clutter: every 3rd frame
+    found[2::3, 1] = True  # frames 2, 5, 8, 11 -> 4 hits, ratio 4/10
+
+    trails = PoseTracker(dt=0.1).run_multi(poses, found)
+    assert len(trails) == 1  # only the persistent vehicle confirms
+    (trail,) = trails.values()
+    assert np.allclose(trail[0][1][:2], [15.0, 2.0], atol=1.0)

@@ -156,7 +156,13 @@ def test_plateau_decay_is_per_epoch():
             state = upd(state, jnp.float32(base + rng.uniform(-5.0, 5.0)))
     assert plateau(state) == 1.0
 
-    # genuinely plateaued epochs DO reduce (patience=3 epochs, factor .5)
+    # genuinely plateaued epochs DO reduce (patience=3 epochs, factor .5),
+    # and keep reducing: 12 flat epochs must fit at least two reductions
+    # (cooldown is counted in epochs, not steps — a steps-unit cooldown
+    # would block the second one for 64 epochs)
     for _ in range(6 * spe):
         state = upd(state, jnp.float32(10.0))
     assert plateau(state) <= 0.5
+    for _ in range(6 * spe):
+        state = upd(state, jnp.float32(10.0))
+    assert plateau(state) <= 0.25

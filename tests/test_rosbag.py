@@ -261,3 +261,25 @@ def test_extract_bag_dataset_full(tmp_path, rng):
 
     tracks = load_radar_csv(str(out / "radar" / "radar_tracks.csv"))
     assert len(tracks) == 1 and abs(tracks[0].range - 20.0) < 1e-6
+
+
+def test_lz4_decompress_enforces_declared_size():
+    """A stream that expands past the declared chunk size must raise —
+    and must not first materialize the oversized output (the native
+    decoder treats the size hint as a hard bound, erroring mid-decode
+    instead of growing the buffer)."""
+    import pytest
+
+    from tpufusion.data.lz4 import lz4_block_compress, lz4_block_decompress
+
+    comp = lz4_block_compress(b"x" * 200_000)
+    assert lz4_block_decompress(comp, max_size=200_000) == b"x" * 200_000
+    with pytest.raises(ValueError):
+        lz4_block_decompress(comp, max_size=1000)
+
+    from tpufusion.native import get_fastpoints
+
+    fp = get_fastpoints()
+    if fp is not None and hasattr(fp, "lz4_decompress"):
+        with pytest.raises(ValueError):
+            fp.lz4_decompress(comp, 1000)

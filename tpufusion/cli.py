@@ -288,9 +288,9 @@ def _cmd_overlay_radar(args):
     npz = np.load(args.camera_frames)
     images, ts = npz["images"], npz["timestamps"]
     written = 0
+    keys = np.asarray(sorted(by_ts))
     for img, t in zip(images, ts):
         # nearest radar burst to this frame (process_radar_data.py:103)
-        keys = np.asarray(sorted(by_ts))
         near = int(keys[np.abs(keys - int(t)).argmin()]) if len(keys) else None
         if near is None:
             continue

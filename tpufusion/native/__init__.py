@@ -34,6 +34,8 @@ def _build() -> bool:
     import sysconfig
 
     src = os.path.join(_DIR, "fastpoints.c")
+    if not os.path.exists(src):
+        return False
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(_DIR, "_fastpoints" + suffix)
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
@@ -52,20 +54,24 @@ def _build() -> bool:
 
 def _stale() -> bool:
     """True when the built extension predates fastpoints.c (an old .so
-    would import fine but miss newer functions)."""
+    would import fine but miss newer functions). A missing source file
+    (installed without sources) never counts as stale."""
     import sysconfig
 
     suffix = sysconfig.get_config_var("EXT_SUFFIX") or ".so"
     out = os.path.join(_DIR, "_fastpoints" + suffix)
     src = os.path.join(_DIR, "fastpoints.c")
-    return os.path.exists(out) and (
-        os.path.getmtime(out) < os.path.getmtime(src)
+    return (
+        os.path.exists(out)
+        and os.path.exists(src)
+        and os.path.getmtime(out) < os.path.getmtime(src)
     )
 
 
 def get_fastpoints():
     """The _fastpoints module, (re)building it if needed; None if
-    unavailable."""
+    unavailable. A stale .so whose rebuild fails (no compiler, timeout)
+    is still returned — callers hasattr-guard functions newer than it."""
     global _build_attempted
     if _fastpoints is not None:
         return _fastpoints
@@ -74,5 +80,7 @@ def get_fastpoints():
     if not _build_attempted:
         _build_attempted = True
         if _build():
-            return _try_import()
-    return None
+            mod = _try_import()
+            if mod is not None:
+                return mod
+    return _try_import()

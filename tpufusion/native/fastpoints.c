@@ -110,7 +110,10 @@ static PyObject *unpack(PyObject *self, PyObject *args) {
  * sequence a token byte (literal-length high nibble, match-length low
  * nibble), 255-continuation extensions, literals, LE u16 match offset,
  * match length + 4. `hint` preallocates the output (bag chunks carry
- * their decompressed size); growth doubles past it. Mirrors
+ * their decompressed size) and acts as a HARD output bound: a crafted
+ * high-expansion stream errors out instead of growing past the declared
+ * size (a few-MB chunk could otherwise allocate gigabytes before the
+ * caller's post-hoc length check). Without a hint, growth doubles. Mirrors
  * tpufusion/data/lz4.py::lz4_block_decompress, which stays the
  * fallback when the extension is unbuilt. */
 static PyObject *lz4_decompress(PyObject *self, PyObject *args) {
@@ -145,6 +148,7 @@ static PyObject *lz4_decompress(PyObject *self, PyObject *args) {
     }
     if (i + lit > n) { err = "lz4: literal run past end of input"; goto done; }
     if (len + lit > cap) {
+      if (hint > 0) { err = "lz4: output exceeds declared size"; goto done; }
       Py_ssize_t nc = cap * 2 + lit;
       uint8_t *nd = (uint8_t *)realloc(dst, nc);
       if (!nd) { err = "oom"; goto done; }
@@ -169,6 +173,7 @@ static PyObject *lz4_decompress(PyObject *self, PyObject *args) {
     }
     mlen += 4;
     if (len + mlen > cap) {
+      if (hint > 0) { err = "lz4: output exceeds declared size"; goto done; }
       Py_ssize_t nc = cap * 2 + mlen;
       uint8_t *nd = (uint8_t *)realloc(dst, nc);
       if (!nd) { err = "oom"; goto done; }

@@ -71,6 +71,14 @@ class PoseTracker:
         dets = [d for d, ok in zip(np.atleast_2d(detections), found) if ok]
         unmatched = list(range(len(dets)))
 
+        # every live track ages every frame — aging only inside the
+        # association loop undercounts (the loop breaks early once all
+        # detections are matched, and never runs on empty frames), which
+        # let intermittent clutter keep hits/age ~ 1.0 and defeat the
+        # n-of-m gate
+        for t in self.tracks:
+            t.age += 1
+
         # greedy nearest association, gated
         for t in sorted(self.tracks, key=lambda t: -t.hits):
             if not unmatched:
@@ -89,7 +97,6 @@ class PoseTracker:
                 t.pose = self.smooth * t.pose + (1 - self.smooth) * det
                 t.last_seen = self._frame
                 t.hits += 1
-            t.age += 1
 
         for i in unmatched:
             self.tracks.append(

@@ -126,6 +126,12 @@ class LiveViewer:
                 self.wfile.write(data)
 
             def _stream(self, name):
+                with viewer._cond:
+                    known = name in viewer._frames
+                if not known:
+                    # match /frame: an unknown window 404s instead of
+                    # pinning a server thread on a forever-empty stream
+                    return self.send_error(404, f"no window {name!r}")
                 self.send_response(200)
                 self.send_header(
                     "Content-Type",

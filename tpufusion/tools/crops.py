@@ -38,14 +38,14 @@ def box_from_pose(pose, camera, crop_top: int = 0):
     """(tx, ty, tz, rz, l, w, h) -> camera-frame (top, left, bottom,
     right) via the 8 projected corners (yaw-less, like the reference's
     camera footprint, encoder.py:240-268)."""
+    from tpufusion.geometry.boxes import _CORNER_SIGNS
+
     tx, ty, tz, _rz, l, w, h = [float(v) for v in pose[:7]]
     if l <= 0 or w <= 0:
         return None
-    signs = np.array(
-        [[-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1],
-         [1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]], float,
+    corners = (
+        np.array([tx, ty, tz]) + _CORNER_SIGNS * np.array([l, w, h]) / 2.0
     )
-    corners = np.array([tx, ty, tz]) + signs * np.array([l, w, h]) / 2.0
     if not np.all(corners[:, 0] > 0.5):  # behind the camera
         return None
     uv = camera.project_lidar_to_pixels(corners)

@@ -38,6 +38,7 @@ from flax import nnx
 
 from tpufusion.config import CameraConfig, ModelConfig, RangeViewSpec
 from tpufusion.data.synthetic import synthesize_beam_scan_batch
+from tpufusion.geometry.boxes import _CORNER_SIGNS
 from tpufusion.geometry.camera import CameraModel, synthetic_camera
 from tpufusion.geometry.range_view import range_view_project_batch
 from tpufusion.models.fusion import FusionNet, fusion_loss
@@ -53,6 +54,9 @@ ASSET = os.path.join(
 CAM = CameraConfig(width=1368, height=512, crop_top=0)
 LIDAR_POOL = (2, 8)
 CAM_POOL = (8, 8)
+# bump when synthesize_beam_scan_batch / render_camera_frames semantics
+# change: it invalidates cached datasets
+_DATASET_VERSION = "v1"
 
 
 def make_camera() -> CameraModel:
@@ -78,11 +82,7 @@ def render_camera_frames(
         # cheap smoothing: two half-resolution averages
         img = 0.5 * img + 0.5 * img[::-1, ::-1]
         c, s = centers_phys[i], sizes[i]
-        signs = np.array(
-            [[-1, 1, 1], [-1, 1, -1], [-1, -1, 1], [-1, -1, -1],
-             [1, 1, 1], [1, 1, -1], [1, -1, 1], [1, -1, -1]], float,
-        )
-        corners = c + signs * s / 2.0
+        corners = c + _CORNER_SIGNS * s / 2.0
         uv = cam.project_lidar_to_pixels(corners)
         if np.all(corners @ [1, 0, 0] > 0.5):  # in front of the camera
             u0, v0 = uv.min(axis=0)
@@ -110,7 +110,18 @@ def build_dataset(
     seed) so training iterations don't repay it.
     """
     if cache_dir:
-        path = os.path.join(cache_dir, f"fusion_ds_{n_frames}_{seed}.npz")
+        # key every input that shapes the data: frames, seed, projection
+        # geometry, and a version bumped when the generators change — a
+        # stale cache must never silently stand in for a different
+        # protocol
+        import hashlib
+
+        spec_key = hashlib.sha1(
+            (repr(spec) + repr(CAM) + _DATASET_VERSION).encode()
+        ).hexdigest()[:10]
+        path = os.path.join(
+            cache_dir, f"fusion_ds_{n_frames}_{seed}_{spec_key}.npz"
+        )
         if os.path.exists(path):
             with np.load(path) as z:
                 return {k: z[k] for k in z.files}

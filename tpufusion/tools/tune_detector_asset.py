@@ -23,7 +23,11 @@ from flax import nnx
 from tpufusion.config import DEFAULT
 from tpufusion.models.fcn import FCN
 from tpufusion.models.io import load_state_npz
-from tpufusion.tools.train_synthetic_detector import ASSET, evaluate
+from tpufusion.tools.train_synthetic_detector import (
+    ASSET,
+    evaluate,
+    prepare_eval_batches,
+)
 
 
 def main(argv=None):
@@ -64,6 +68,12 @@ def main(argv=None):
          "backproject")
         if head == "direct" else (None,)
     )
+    # the scenes + projection + FCN forward are identical for every
+    # operating point: prepare them once, sweep only the decode
+    prepared = prepare_eval_batches(
+        graphdef, state, spec, args.batch, args.n_points,
+        max_yaw=max_yaw, scenes=scenes, n_batches=args.eval_batches,
+    )
     rows = []
     for mp in probs:
         for ar in areas:
@@ -74,7 +84,7 @@ def main(argv=None):
                 ev = evaluate(
                     graphdef, state, spec, dcfg, args.batch, args.n_points,
                     max_yaw=max_yaw, head=head, scenes=scenes, center=mode,
-                    n_batches=args.eval_batches,
+                    n_batches=args.eval_batches, prepared=prepared,
                 )
                 rows.append({"min_prob": mp, "min_bbox_area": ar,
                              "center": mode, **ev})

@@ -67,14 +67,17 @@ def make_fusion_tx(lr: float, steps_per_epoch: int):
     epoch of them before comparing (accumulation_size) and wait
     patience=3 epochs. Raw per-step patience collapses the LR inside the
     first epoch on any dataset larger than a few batches (measured: a
-    512-frame run froze at loss 101 by epoch 1).
+    512-frame run froze at loss 101 by epoch 1). Note optax's patience
+    and cooldown both count accumulation WINDOWS (= epochs here), not
+    steps — its _update_scale runs and decrements cooldown_count once
+    per accumulation_size values.
     """
     return optax.chain(
         optax.adam(lr),
         optax.contrib.reduce_on_plateau(
             patience=3, factor=0.5,
             accumulation_size=steps_per_epoch,
-            cooldown=steps_per_epoch,
+            cooldown=1,
         ),
     )
 

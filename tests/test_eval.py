@@ -152,3 +152,37 @@ def test_submission_flow(tmp_path):
     assert abs(coll.tracklets[0].poses[1]["tx"] - 5.25) < 1e-6
     parsed = parse_tracklet_xml(str(out_xml))
     assert len(parsed[0].poses) == 4
+
+
+def test_score_multi_poses_matching_and_false_positives():
+    """Greedy per-frame matching: each vehicle takes its nearest decoded
+    box within the gate; leftovers count as false positives."""
+    from tpufusion.eval.scoring import score_multi_poses
+
+    f, k, v = 3, 4, 2
+    gt_c = np.zeros((f, v, 3))
+    gt_c[:, 0] = [10.0, 0.0, -0.7]
+    gt_c[:, 1] = [20.0, 5.0, -0.7]
+    gt_y = np.zeros((f, v))
+    gt_s = np.broadcast_to([4.2, 1.6, 1.5], (f, v, 3)).copy()
+
+    poses = np.zeros((f, k, 7))
+    found = np.zeros((f, k), bool)
+    # box 0 sits exactly on vehicle 0; box 1 near vehicle 1 (0.5 m off);
+    # box 2 is clutter far from both -> false positive; box 3 not found
+    for fr in range(f):
+        poses[fr, 0] = [10.0, 0.0, -0.7, 0.0, 4.2, 1.6, 1.5]
+        poses[fr, 1] = [20.5, 5.0, -0.7, 0.0, 4.2, 1.6, 1.5]
+        poses[fr, 2] = [50.0, -20.0, -0.7, 0.0, 4.2, 1.6, 1.5]
+        found[fr, :3] = True
+
+    s = score_multi_poses(poses, found, gt_c, gt_y, gt_s)
+    assert s["box_recall"] == 1.0  # both vehicles matched every frame
+    assert s["false_positives"] == f  # the clutter box, every frame
+    assert s["box_mean_iou"] > 0.4  # exact + 0.5m-offset matches
+    assert 0.2 < s["box_xy_err"] < 0.3  # mean of 0 and 0.5
+
+    # vehicle with no box inside the gate is a miss, not a bad match
+    found[:, 1] = False
+    s2 = score_multi_poses(poses, found, gt_c, gt_y, gt_s)
+    assert s2["box_recall"] == 0.5

@@ -449,3 +449,38 @@ def test_trainer_direct_head_plumbed(tmp_path):
             cfg.replace(model=ModelConfig(head="nope")),
             outdir=str(tmp_path / "run2"),
         )
+
+
+def test_detector_evaluate_prepared_matches_unprepared():
+    """evaluate(...) with externally prepared batches (the operating-point
+    tuner's fast path) must score identically to the self-preparing call."""
+    import dataclasses
+
+    from flax import nnx
+
+    from tpufusion.config import DEFAULT, RangeViewSpec
+    from tpufusion.models.fcn import FCN
+    from tpufusion.tools.train_synthetic_detector import (
+        evaluate,
+        prepare_eval_batches,
+    )
+
+    spec = RangeViewSpec(res_h_deg=1.8)  # small geometry for CPU
+    model = FCN(
+        dataclasses.replace(
+            DEFAULT.model, head="direct", reg_output_activation="linear"
+        ),
+        in_channels=3, rngs=nnx.Rngs(0),
+    )
+    gd, st = nnx.split(model)
+    dcfg = dataclasses.replace(DEFAULT.decode, min_prob=0.5, min_bbox_area=4.0)
+    kw = dict(batch=4, n_points=2048, seed=7, head="direct",
+              scenes="beam", center="geometric", n_batches=2)
+    prepared = prepare_eval_batches(
+        gd, st, spec, batch=4, n_points=2048, seed=7, scenes="beam",
+        n_batches=2,
+    )
+    a = evaluate(gd, st, spec, dcfg, **kw)
+    b = evaluate(gd, st, spec, dcfg, **kw, prepared=prepared)
+    for k in a:
+        assert a[k] == b[k] or (a[k] != a[k] and b[k] != b[k]), (k, a, b)

@@ -426,6 +426,15 @@ def config5_waymo_scale() -> dict:
     gt_c = np.asarray(seq_gt["center"])  # (F, V, 3)
     quality = track_quality_metrics(trails, gt_c)
 
+    # per-BOX accuracy of the top-K decode on the same sequence (tracking
+    # metrics above measure identity/coverage, not box quality)
+    from tpufusion.eval.scoring import score_multi_poses
+
+    box_scores = score_multi_poses(
+        np.asarray(p), np.asarray(fd), gt_c,
+        np.asarray(seq_gt["yaw"]), np.asarray(seq_gt["size"]),
+    )
+
     n_dev = len(jax.devices())
     return {
         "config": 5,
@@ -445,6 +454,7 @@ def config5_waymo_scale() -> dict:
         "tracked_frames": len(
             {f for trail in trails.values() for f, _ in trail}
         ),
+        **box_scores,
     }
 
 

@@ -117,3 +117,52 @@ def score_poses(
         for k in ("trans_err", "xy_err", "yaw_err"):
             out[f"mean_{k}"] = float(np.mean([e[k] for e in errs]))
     return out
+
+
+def score_multi_poses(
+    poses: np.ndarray,  # (F, K, 7) top-K decoded boxes per frame
+    found: np.ndarray,  # (F, K) validity
+    gt_centers: np.ndarray,  # (F, V, 3)
+    gt_yaws: np.ndarray,  # (F, V)
+    gt_sizes: np.ndarray,  # (F, V, 3)
+    match_dist: float = 4.0,
+) -> dict[str, float]:
+    """Per-box accuracy of the multi-obstacle decode (config 5's top-K
+    path), which `score_poses` (one box per frame) cannot measure.
+
+    Greedy per-frame matching: each GT vehicle takes the nearest unused
+    decoded box within match_dist (xy). Reports recall over all
+    (frame, vehicle) pairs, mean 3D IoU / xy error over the matches, and
+    decoded boxes that matched nothing (false positives)."""
+    poses = np.asarray(poses, np.float64)
+    found = np.asarray(found, bool)
+    f, v = gt_centers.shape[:2]
+    matched, false_pos = 0, 0
+    ious, xy_errs = [], []
+    for fr in range(f):
+        cand = [k for k in range(poses.shape[1]) if found[fr, k]]
+        used = set()
+        for vi in range(v):
+            c = gt_centers[fr, vi]
+            avail = [k for k in cand if k not in used]
+            if not avail:
+                continue
+            d = [np.linalg.norm(poses[fr, k, :2] - c[:2]) for k in avail]
+            j = int(np.argmin(d))
+            if d[j] > match_dist:
+                continue
+            k = avail[j]
+            used.add(k)
+            matched += 1
+            truth = np.concatenate(
+                [c, [gt_yaws[fr, vi]], gt_sizes[fr, vi]]
+            )
+            ious.append(box_iou_3d(poses[fr, k], truth))
+            xy_errs.append(d[j])
+        false_pos += len(cand) - len(used)
+    return {
+        "box_recall": round(matched / max(f * v, 1), 3),
+        "box_mean_iou": round(float(np.mean(ious)) if ious else 0.0, 3),
+        "box_xy_err": round(float(np.mean(xy_errs)) if xy_errs else float("nan"), 3),
+        "false_positives": int(false_pos),
+    }

@@ -86,8 +86,8 @@ class FusionNet(nnx.Module):
         lidar_flat = lh * lw * 2
         self.cam_branch = _Branch(cam_flat, rngs=rngs)
         self.lidar_branch = _Branch(lidar_flat, rngs=rngs)
-        self.centroid_head = _TwoPathHead(48 + 48 + 2, 3, rngs=rngs)
-        self.rz_head = _TwoPathHead(48 + 48 + 2, 1, rngs=rngs)
+        self.centroid_head = _TwoPathHead(48 + 48 + 4, 3, rngs=rngs)
+        self.rz_head = _TwoPathHead(48 + 48 + 4, 1, rngs=rngs)
 
     def __call__(self, cam_img, lidar_img, radar, *, train: bool = False):
         """cam_img (B,Hc,Wc,1), lidar_img (B,32,1801,3), radar (B,2)
@@ -105,7 +105,17 @@ class FusionNet(nnx.Module):
             )
         c = self.cam_branch(cam_feat, train=train)
         l = self.lidar_branch(lidar_feat, train=train)
-        x = jnp.concatenate([c, l, radar.astype(jnp.float32)], axis=-1)
+        # radar reaches the heads in BOTH frames: the reference fed raw
+        # (range, angle) only (train_fcn.py:300-307), forcing the tiny elu
+        # heads to learn the polar->cartesian transform the target lives
+        # in; deriving r*cos(a), r*sin(a) here makes the radar->centroid
+        # mapping near-linear (framework extension, A/B'd in BASELINE.md)
+        radar = radar.astype(jnp.float32)
+        r, a = radar[..., 0:1], radar[..., 1:2]
+        radar_feats = jnp.concatenate(
+            [r, a, r * jnp.cos(a), r * jnp.sin(a)], axis=-1
+        )
+        x = jnp.concatenate([c, l, radar_feats], axis=-1)
         return self.centroid_head(x), self.rz_head(x)
 
 

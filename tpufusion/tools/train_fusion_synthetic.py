@@ -200,6 +200,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=ASSET)
     ap.add_argument("--cache_dir", default="/tmp/fusion_ds_cache")
+    ap.add_argument("--variants", default="fused,lidar_only",
+                    help="comma list; rerun one variant without repaying "
+                         "the other (results merge into the asset json)")
     args = ap.parse_args(argv)
 
     spec = RangeViewSpec()
@@ -228,7 +231,14 @@ def main(argv=None):
     from tpufusion.train.fusion_trainer import train_fusion
 
     results = {}
-    for variant in ("fused", "lidar_only"):
+    if os.path.exists(args.out + ".json"):
+        # merge over a previous run's results (e.g. rerunning one variant)
+        try:
+            with open(args.out + ".json") as f:
+                results = json.load(f).get("results", {})
+        except (OSError, ValueError):
+            results = {}
+    for variant in args.variants.split(","):
         data = dict(train)
         heldv = dict(held)
         if variant == "lidar_only":

@@ -44,11 +44,18 @@ def build_fusion_batches(
 
 
 def make_fusion_train_step():
+    """Jitted step over the DEVICE-RESIDENT dataset: the batch gather by
+    `rows` happens inside the jit, so each step moves only a scalar loss
+    device->host and nothing host->device (a fresh staging transfer per
+    step leaks on the axon relay — a 60-epoch full-camera-scale run was
+    OOM-killed at 130 GB host RSS before this)."""
+
     @nnx.jit
-    def step(net, opt, cam, lidar, radar, centroid, rz):
+    def step(net, opt, cam, lidar, radar, centroid, rz, rows):
         def loss_fn(net):
             return fusion_loss(
-                net(cam, lidar, radar, train=True), (centroid, rz)
+                net(cam[rows], lidar[rows], radar[rows], train=True),
+                (centroid[rows], rz[rows]),
             )
 
         loss, grads = nnx.value_and_grad(loss_fn)(net)
@@ -102,18 +109,22 @@ def train_fusion(
     step = make_fusion_train_step()
     rng = np.random.default_rng(seed)
     losses = []
+    # stage the dataset on device ONCE and gather batches on-device: a
+    # fresh host->device transfer per step leaks its staging buffer on
+    # the axon relay (~22 MB/step at the full camera scale — a 60-epoch
+    # run was OOM-killed at 130 GB host RSS before this)
+    dev = {
+        k: jax.numpy.asarray(data[k])
+        for k in ("cam", "lidar", "radar", "centroid", "rz")
+    }
     for epoch in range(epochs):
         order = rng.permutation(n)
         epoch_losses = []
         for lo in range(0, n - batch_size + 1, batch_size):
-            rows = order[lo : lo + batch_size]
+            rows = jax.numpy.asarray(order[lo : lo + batch_size])
             loss = step(
-                net, opt,
-                jax.numpy.asarray(data["cam"][rows]),
-                jax.numpy.asarray(data["lidar"][rows]),
-                jax.numpy.asarray(data["radar"][rows]),
-                jax.numpy.asarray(data["centroid"][rows]),
-                jax.numpy.asarray(data["rz"][rows]),
+                net, opt, dev["cam"], dev["lidar"], dev["radar"],
+                dev["centroid"], dev["rz"], rows,
             )
             epoch_losses.append(float(loss))
         mean_loss = float(np.mean(epoch_losses)) if epoch_losses else 0.0

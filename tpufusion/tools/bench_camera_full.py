@@ -137,12 +137,23 @@ def main(argv=None):
     opt = nnx.Optimizer(model, optax.adam(args.lr), wrt=nnx.Param)
     hist = []
     rng = np.random.default_rng(5)
+
+    # dataset staged on device ONCE, batch gathered inside the jit: a
+    # fresh ~33 MB host->device transfer per step both leaks on the axon
+    # relay and dominates wall clock (2.4 s/step vs 40 ms; same lesson as
+    # train_fusion — NOTES.md round 3)
+    frames_d, labels_d = jnp.asarray(frames), jnp.asarray(labels)
+
+    @nnx.jit
+    def conv_step(model, opt, fr, lb, rows, key):
+        return step(model, opt, {"images": fr[rows], "labels": lb[rows]}, key)
+
     for s in range(args.steps):
-        rows = rng.choice(len(frames), b, replace=False)
-        batch = {"images": jnp.asarray(frames[rows]),
-                 "labels": jnp.asarray(labels[rows])}
+        rows = jnp.asarray(rng.choice(len(frames), b, replace=False))
         key, sub = jax.random.split(key)
-        loss, metrics = step(model, opt, batch, sub)
+        loss, metrics = conv_step(
+            model, opt, frames_d, labels_d, rows, sub
+        )
         if s % 20 == 0 or s == args.steps - 1:
             m = {k: float(v) for k, v in metrics.items()}
             hist.append({"step": s, "loss": round(m["loss"], 4),

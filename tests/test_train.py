@@ -484,3 +484,20 @@ def test_detector_evaluate_prepared_matches_unprepared():
     b = evaluate(gd, st, spec, dcfg, **kw, prepared=prepared)
     for k in a:
         assert a[k] == b[k] or (a[k] != a[k] and b[k] != b[k]), (k, a, b)
+
+
+def test_pipeline_device_resident_matches_streaming():
+    """Device-resident batching (the default when the dataset fits — it
+    avoids the axon relay's per-put staging leak) must yield exactly the
+    batches the host-streaming path yields for the same seed."""
+    rng = np.random.default_rng(3)
+    ds = {
+        "points": rng.normal(0, 1, (20, 64, 4)).astype(np.float32),
+        "center": rng.normal(0, 1, (20, 3)).astype(np.float32),
+    }
+    a = BatchPipeline(ds, batch_size=8, seed=4, device_resident=True)
+    b = BatchPipeline(ds, batch_size=8, seed=4, device_resident=False)
+    assert a._dev is not None and b._dev is None
+    for ba, bb in zip(a.epoch(), b.epoch()):
+        for k in ds:
+            np.testing.assert_array_equal(np.asarray(ba[k]), np.asarray(bb[k]))

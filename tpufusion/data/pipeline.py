@@ -53,6 +53,8 @@ class BatchPipeline:
         seed: int = 0,
         sharding: jax.sharding.Sharding | None = None,
         drop_remainder: bool = False,
+        device_resident: bool | None = None,
+        device_budget_bytes: int = 4 << 30,
     ):
         self.data = data
         self.n = len(next(iter(data.values())))
@@ -61,6 +63,20 @@ class BatchPipeline:
         self.rng = np.random.default_rng(seed)
         self.sharding = sharding
         self.drop_remainder = drop_remainder
+        # Device-resident mode: stage the whole dataset on device once and
+        # gather each batch on-device. On the axon relay every per-batch
+        # host->device transfer leaks its staging buffer in-process
+        # (measured: 200 x 22 MB puts retained 3.2 GB RSS; a 60-epoch
+        # fusion run was OOM-killed at 130 GB), and the transfer also
+        # dominated step wall-clock. Default: resident whenever the data
+        # fits the budget and no sharding is requested; streaming puts
+        # remain for sharded or outsized datasets.
+        if device_resident is None:
+            total = sum(np.asarray(v).nbytes for v in data.values())
+            device_resident = sharding is None and total <= device_budget_bytes
+        self._dev = None
+        if device_resident and sharding is None:
+            self._dev = {k: jax.numpy.asarray(v) for k, v in data.items()}
 
     @property
     def batches_per_epoch(self) -> int:
@@ -81,7 +97,11 @@ class BatchPipeline:
             plan = plan[: self.n // self.batch_size]
         pending = None
         for rows in plan:
-            nxt = self._put({k: v[rows] for k, v in self.data.items()})
+            if self._dev is not None:
+                ridx = jax.numpy.asarray(rows)
+                nxt = {k: v[ridx] for k, v in self._dev.items()}
+            else:
+                nxt = self._put({k: v[rows] for k, v in self.data.items()})
             if pending is not None:
                 yield pending
             pending = nxt

@@ -262,3 +262,31 @@ def test_edges_cli(tmp_path):
     cli_main(["edges", str(tmp_path / "in.png"), str(tmp_path / "out.png")])
     edges = cv2.imread(str(tmp_path / "out.png"), cv2.IMREAD_GRAYSCALE)
     assert edges is not None and edges.max() == 255  # box outline found
+
+
+def test_detector_envelope_condition_runs():
+    """run_condition drives synth->project->forward->decode->score for an
+    arbitrary scene condition (CPU smoke at tiny scale, random weights)."""
+    import dataclasses
+
+    from flax import nnx
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.models.fcn import FCN
+    from tpufusion.tools.detector_envelope import run_condition
+
+    model = FCN(
+        dataclasses.replace(
+            DEFAULT.model, head="direct", reg_output_activation="linear"
+        ),
+        in_channels=3, rngs=nnx.Rngs(0),
+    )
+    gd, st = nnx.split(model)
+    dcfg = dataclasses.replace(DEFAULT.decode, min_prob=0.5, min_bbox_area=4.0)
+    sc, preds, extra = run_condition(
+        gd, st, dcfg, "direct", n_batches=1, batch=2,
+        n_points=2048, max_yaw=0.05, n_clutter=8,
+    )
+    assert preds.shape == (2, 7)
+    assert extra["truth"].shape == (2, 7)
+    assert set(sc) >= {"detection_rate", "mean_iou", "recall@iou0.25"}

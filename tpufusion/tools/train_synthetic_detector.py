@@ -31,12 +31,14 @@ from tpufusion.data.synthetic import (
 )
 
 
-def _synth(scenes, key, batch, n_points, max_yaw, vary_size=False):
+def _synth(scenes, key, batch, n_points, max_yaw, vary_size=False,
+           n_clutter=24):
     """(points, gt, valid) for either scene family (valid=None for the
     legacy uniform clutter)."""
     if scenes == "beam":
         return synthesize_beam_scan_batch(
-            key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size
+            key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size,
+            n_clutter=n_clutter,
         )
     pts, gt = synthesize_points_batch(
         key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size
@@ -189,6 +191,13 @@ def main(argv=None):
     # dropout) — the benchmark distribution since round 3; uniform = the
     # legacy dense-clutter scenes (kept for comparisons)
     ap.add_argument("--scenes", choices=("beam", "uniform"), default="beam")
+    ap.add_argument("--init_from", default=None,
+                    help="warm-start weights from an existing asset npz "
+                         "(fine-tuning, e.g. for robustness passes)")
+    ap.add_argument("--clutter_mix", default="24",
+                    help="comma list of per-step clutter counts to cycle "
+                         "through (beam scenes); e.g. 24,48,96 trains for "
+                         "the envelope's heavy-clutter conditions")
     args = ap.parse_args(argv)
 
     cfg = DEFAULT
@@ -200,6 +209,11 @@ def main(argv=None):
                             head=args.head),
         in_channels=3, rngs=nnx.Rngs(0),
     )
+    if args.init_from:
+        from tpufusion.models.io import load_state_npz
+
+        load_state_npz(args.init_from, model)
+        print(f"warm-started from {args.init_from}", flush=True)
     warmup = min(50, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup, args.steps, args.lr * 0.03
@@ -234,10 +248,12 @@ def main(argv=None):
     best = {"score": -1.0}
     key = jax.random.PRNGKey(7)
     t0 = time.time()
+    clutter_mix = [int(c) for c in args.clutter_mix.split(",")]
     for s in range(1, args.steps + 1):
         p, g, vmask = _synth(
             args.scenes, jax.random.PRNGKey(100_000 + s), args.batch,
             args.n_points, args.max_yaw, vary_size=args.vary_size,
+            n_clutter=clutter_mix[s % len(clutter_mix)],
         )
         batch = {"points": p, "center": g["center"], "size": g["size"],
                  "yaw": g["yaw"]}

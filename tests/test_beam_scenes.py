@@ -119,3 +119,55 @@ def test_multi_vehicle_and_tracking_shapes():
     c = np.asarray(sgt["center"])
     step = np.linalg.norm(np.diff(c[:, 0, :2], axis=0), axis=1)
     assert (step < 0.3).all()  # constant-velocity, v <= 2*sqrt(2) m/s * 0.1 s
+
+
+def test_ellipse_surface_yaw_observable():
+    """vehicle_surface="ellipse" renders an oriented (l/2, w/2) ellipse:
+    vehicle-return geometry must CHANGE with yaw (it is rotationally
+    invariant for the default circle model, which is exactly why yaw was
+    unobservable — NOTES.md round-2 session 3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufusion.data.synthetic import _raycast_scene
+
+    key = jax.random.PRNGKey(3)
+    center = jnp.asarray([[[12.0, 0.0, -0.7]]])  # (1, 1, 3)
+    size = jnp.asarray([[[4.8, 1.6, 1.5]]])  # long, narrow
+
+    def veh_pts(surface, yaw):
+        pts, valid = _raycast_scene(
+            key, 1, 32, 256, center, size, 60.0, 0, 0.0,
+            vehicle_surface=surface, yaws=jnp.asarray([[yaw]]),
+        )
+        p = np.asarray(pts[0])[np.asarray(valid[0])]
+        # vehicle returns only (intensity >= 30 marks vehicle hits)
+        return p[p[:, 3] >= 30.0]
+
+    # at bearing 0, yaw=0 points the LENGTH down the line of sight (the
+    # sensor sees the narrow front) while yaw=pi/2 lays the length across
+    # the view (broadside) — so broadside must span far more azimuth
+    head_on = veh_pts("ellipse", 0.0)
+    broadside = veh_pts("ellipse", np.pi / 2)
+    assert len(head_on) > 0 and len(broadside) > 0
+    span = lambda p: np.ptp(np.arctan2(p[:, 1], p[:, 0]))
+    assert span(broadside) > span(head_on) * 1.5
+
+    # the circle model is yaw-invariant: identical clouds for any yaw
+    c0 = veh_pts("circle", 0.0)
+    c1 = veh_pts("circle", np.pi / 2)
+    np.testing.assert_allclose(c0, c1, atol=1e-5)
+
+    # l == w ellipse behaves like a circle of the same radius: same
+    # azimuth span of vehicle returns
+    sq = jnp.asarray([[[1.8, 1.8, 1.5]]])
+    pts_e, valid_e = _raycast_scene(
+        key, 1, 32, 256, center, sq, 60.0, 0, 0.0,
+        vehicle_surface="ellipse", yaws=jnp.asarray([[0.7]]),
+    )
+    pe = np.asarray(pts_e[0])[np.asarray(valid_e[0])]
+    pe = pe[pe[:, 3] >= 30.0]
+    assert len(pe) > 0
+    # entry distances sit on/near the r=0.81 scaled ellipse around 12 m
+    d = np.linalg.norm(pe[:, :2], axis=1)
+    assert (d > 10.5).all() and (d < 12.1).all()

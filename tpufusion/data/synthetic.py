@@ -256,8 +256,12 @@ def _raycast_scene(
     ground_z: float = -1.9,
     vfov_lo_deg: float = -30.67,
     vfov_hi_deg: float = 10.67,
+    vehicle_surface: str = "circle",
+    yaws: jax.Array | None = None,  # (B, V) physical orientations (ellipse)
 ) -> tuple[jax.Array, jax.Array]:
     """Ray-cast (points (B, n_beams*n_azimuth, 4), valid (B, N) bool)."""
+    if yaws is None:
+        yaws = jnp.zeros(centers.shape[:2], centers.dtype)
     b, v = batch, centers.shape[1]
     n = n_beams * n_azimuth
     ks = jax.random.split(key, 8)
@@ -289,23 +293,55 @@ def _raycast_scene(
         tan_phi < -1e-4, (ground_z + g_noise - sensor_z) / tan_phi, big
     )
 
-    # --- vehicles: rounded-box obstacle per (frame, vehicle). The surface
-    # the ray enters is the circle of radius r_eff around the center at
-    # planar distance d_v (circle-chord intersection gives curvature like
-    # a real vehicle); the hit stands only if its height lands within the
-    # box's z extent.
+    # --- vehicles: rounded-box obstacle per (frame, vehicle). Two surface
+    # models:
+    #   circle (default): the ray enters the circle of radius r_eff around
+    #     the center (rotationally symmetric -> yaw is UNOBSERVABLE; the
+    #     regime the reference's real data lived in, rz ~ 0);
+    #   ellipse: an oriented ellipse with semi-axes (l/2, w/2) rotated by
+    #     `yaws` — the physical orientation the reference's orbit-origin
+    #     corner convention implies (encoder.py:47-60 rotates corners
+    #     about the sensor origin, orienting the box by yaw as it orbits).
+    #     Length/width anisotropy makes yaw and l-vs-w OBSERVABLE.
+    # Either way the hit stands only if its height lands within the box's
+    # z extent.
     d_v = jnp.linalg.norm(centers[..., :2], axis=-1)  # (B, V)
     alpha_v = jnp.arctan2(centers[..., 1], centers[..., 0])  # (B, V)
-    r_eff = 0.5 * jnp.sqrt(sizes[..., 0] ** 2 + sizes[..., 1] ** 2) * 0.8
     dalpha = (az[:, None, :] - alpha_v[:, :, None] + np.pi) % (
         2 * np.pi
     ) - np.pi  # (B, V, N)
-    cross = d_v[:, :, None] * jnp.sin(dalpha)
-    under = r_eff[:, :, None] ** 2 - cross**2
-    hit_az = under > 0.0
-    rho_vehicle = d_v[:, :, None] * jnp.cos(dalpha) - jnp.sqrt(
-        jnp.where(hit_az, under, 1.0)
-    )  # chord entry distance (B, V, N)
+    if vehicle_surface == "ellipse":
+        # ray p(t) = t*d from the origin; in the ellipse frame (rotate by
+        # -yaw about the ellipse center, scale axes to a unit circle) it
+        # is q(t) = q0 + t*dq with q0 = -S R (c), dq = S R d; entry is the
+        # smaller root of |q(t)|^2 = 1.
+        th = yaws  # (B, V) physical orientation
+        ct, st_ = jnp.cos(th)[:, :, None], jnp.sin(th)[:, :, None]
+        a = jnp.maximum(sizes[..., 0] / 2.0, 1e-3)[:, :, None] * 0.9
+        bax = jnp.maximum(sizes[..., 1] / 2.0, 1e-3)[:, :, None] * 0.9
+        cx, cy = centers[..., 0][:, :, None], centers[..., 1][:, :, None]
+        dx, dy = jnp.cos(az)[:, None, :], jnp.sin(az)[:, None, :]
+        # R(-th) @ v, then scale by (1/a, 1/b)
+        q0x = (ct * -cx + st_ * -cy) / a
+        q0y = (-st_ * -cx + ct * -cy) / bax
+        dqx = (ct * dx + st_ * dy) / a
+        dqy = (-st_ * dx + ct * dy) / bax
+        A = dqx**2 + dqy**2
+        Bq = q0x * dqx + q0y * dqy
+        C = q0x**2 + q0y**2 - 1.0
+        under = Bq**2 - A * C
+        hit_az = under > 0.0
+        rho_vehicle = (-Bq - jnp.sqrt(jnp.where(hit_az, under, 1.0))) / A
+    else:
+        r_eff = (
+            0.5 * jnp.sqrt(sizes[..., 0] ** 2 + sizes[..., 1] ** 2) * 0.8
+        )
+        cross = d_v[:, :, None] * jnp.sin(dalpha)
+        under = r_eff[:, :, None] ** 2 - cross**2
+        hit_az = under > 0.0
+        rho_vehicle = d_v[:, :, None] * jnp.cos(dalpha) - jnp.sqrt(
+            jnp.where(hit_az, under, 1.0)
+        )  # chord entry distance (B, V, N)
     z_at = sensor_z + rho_vehicle * tan_phi[:, None, :]
     zb = centers[..., 2] - sizes[..., 2] / 2.0  # (B, V)
     zt = centers[..., 2] + sizes[..., 2] / 2.0
@@ -339,7 +375,8 @@ def _raycast_scene(
         & (z_c <= c_top[:, :, None])
     )
     rho_clutter = jnp.where(hit_c, c_d[:, :, None], big)
-    rho_clutter = jnp.min(rho_clutter, axis=1)  # (B, N)
+    # initial: n_clutter=0 (clean scenes) is a legal input
+    rho_clutter = jnp.min(rho_clutter, axis=1, initial=big)  # (B, N)
 
     # --- nearest hit wins: occlusion shadows for free
     rho = jnp.minimum(jnp.minimum(rho_ground, rho_vehicle), rho_clutter)
@@ -384,8 +421,15 @@ def synthesize_beam_scan_batch(
     n_clutter: int = 24,
     dropout: float = 0.12,
     angle_range: tuple[float, float] = (-np.pi, np.pi),
+    vehicle_surface: str = "circle",
 ) -> tuple[jax.Array, dict[str, jax.Array], jax.Array]:
     """Beam-structured single-vehicle scenes.
+
+    vehicle_surface="ellipse" renders an oriented (l/2, w/2) ellipse
+    rotated by yaw — the physical orientation the reference's
+    orbit-origin convention implies — making yaw and l-vs-w observable
+    from geometry; the default "circle" is rotationally symmetric (yaw
+    unobservable, the regime the reference's real data lived in).
 
     angle_range restricts the vehicle's spawn azimuth (e.g. a camera-FOV
     wedge for fusion training, where the camera must see the obstacle).
@@ -435,6 +479,7 @@ def synthesize_beam_scan_batch(
     points, valid = _raycast_scene(
         kscene, b, n_beams, n_azimuth, spot[:, None, :], size[:, None, :],
         max_range, n_clutter, dropout,
+        vehicle_surface=vehicle_surface, yaws=yaw[:, None],
     )
     return points, {"center": center, "size": size, "yaw": yaw}, valid
 

@@ -33,12 +33,16 @@ from tpufusion.data.synthetic import (
 
 def _synth(scenes, key, batch, n_points, max_yaw, vary_size=False,
            n_clutter=24):
-    """(points, gt, valid) for either scene family (valid=None for the
-    legacy uniform clutter)."""
-    if scenes == "beam":
+    """(points, gt, valid) for any scene family (valid=None for the
+    legacy uniform clutter). "beam-ellipse" renders oriented-ellipse
+    vehicles (yaw observable); "beam" keeps the rotationally symmetric
+    circle surface."""
+    if scenes.startswith("beam"):
         return synthesize_beam_scan_batch(
             key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size,
             n_clutter=n_clutter,
+            vehicle_surface="ellipse" if scenes.endswith("ellipse")
+            else "circle",
         )
     pts, gt = synthesize_points_batch(
         key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size
@@ -190,7 +194,8 @@ def main(argv=None):
     # beam = ray-cast Velodyne-like scans (discrete beams, occlusion,
     # dropout) — the benchmark distribution since round 3; uniform = the
     # legacy dense-clutter scenes (kept for comparisons)
-    ap.add_argument("--scenes", choices=("beam", "uniform"), default="beam")
+    ap.add_argument("--scenes", choices=("beam", "beam-ellipse", "uniform"),
+                    default="beam")
     ap.add_argument("--init_from", default=None,
                     help="warm-start weights from an existing asset npz "
                          "(fine-tuning, e.g. for robustness passes)")

@@ -283,3 +283,72 @@ def test_lz4_decompress_enforces_declared_size():
     if fp is not None and hasattr(fp, "lz4_decompress"):
         with pytest.raises(ValueError):
             fp.lz4_decompress(comp, 1000)
+
+
+def test_lz4_native_python_cross_compatibility(rng):
+    """Native and pure-python codec halves must interoperate in every
+    direction (native-compressed -> python-decoded and vice versa): the
+    native codec (fastpoints.c) is a fast path, not a format fork."""
+    import unittest.mock as um
+
+    import pytest
+
+    import tpufusion.data.lz4 as L
+    from tpufusion.native import get_fastpoints
+
+    fp = get_fastpoints()
+    if fp is None or not hasattr(fp, "lz4_frame_decompress"):
+        pytest.skip("native extension unavailable")
+
+    def py(fn, *a, **k):
+        with um.patch("tpufusion.native.get_fastpoints", lambda: None):
+            return fn(*a, **k)
+
+    cases = [
+        b"",
+        b"abc" * 4000,
+        bytes(rng.integers(0, 256, (1 << 16) + 7).astype(np.uint8)),
+        bytes(rng.integers(0, 3, 150_000).astype(np.uint8)),
+    ]
+    for c in cases:
+        for blk in (fp.lz4_compress(c), py(L.lz4_block_compress, c)):
+            assert py(L.lz4_block_decompress, blk) == c
+            assert fp.lz4_decompress(blk, -1) == c
+        for frm in (fp.lz4_frame_compress(c, 1 << 16),
+                    py(L.lz4_frame_compress, c)):
+            assert py(L.lz4_frame_decompress, frm) == c
+            assert fp.lz4_frame_decompress(frm, -1) == c
+            # the declared-size hint is exact and a hard bound in both
+            assert L.lz4_frame_decompress(frm, len(c)) == c
+            if len(c) > 1:
+                with pytest.raises(ValueError):
+                    fp.lz4_frame_decompress(frm, len(c) - 1)
+                with pytest.raises(ValueError):
+                    py(L.lz4_frame_decompress, frm, len(c) - 1)
+
+
+def test_lz4_block_linked_frame_decodes():
+    """Frames whose blocks back-reference earlier blocks' output (roslz4
+    streaming can emit these) decode in both implementations: blocks are
+    decoded into one contiguous buffer, offsets bounded by total output."""
+    import struct
+    import unittest.mock as um
+
+    import tpufusion.data.lz4 as L
+
+    # block 1: 8 literals. block 2: 0 literals then a match reaching 8
+    # bytes back — i.e. entirely into block 1's output.
+    b1 = bytes([8 << 4]) + b"ABCDEFGH"
+    b2 = bytes([(0 << 4) | 0]) + struct.pack("<H", 8) + bytes([0 << 4])
+    frame = struct.pack("<I", L.LZ4_FRAME_MAGIC) + bytes([1 << 6, 0x40, 0])
+    for blk in (b1, b2):
+        frame += struct.pack("<I", len(blk)) + blk
+    frame += struct.pack("<I", 0)
+    want = b"ABCDEFGH" + b"ABCD"
+    with um.patch("tpufusion.native.get_fastpoints", lambda: None):
+        assert L.lz4_frame_decompress(frame) == want
+    from tpufusion.native import get_fastpoints
+
+    fp = get_fastpoints()
+    if fp is not None and hasattr(fp, "lz4_frame_decompress"):
+        assert fp.lz4_frame_decompress(frame, -1) == want

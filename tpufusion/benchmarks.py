@@ -304,7 +304,8 @@ def config4_full_eval() -> dict:
 
 
 def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
-                         steps_per_batch: int = 15):
+                         steps_per_batch: int = 15,
+                         asset_path: str | None = None):
     """Detector weights + decode operating point for configs 4/5: load
     the shipped synthetic-scene asset (tpufusion/assets/
     synthetic_detector.npz, produced by tools/train_synthetic_detector
@@ -320,7 +321,7 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
     import json
     import os
 
-    asset = os.path.join(
+    asset = asset_path or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "assets", "synthetic_detector.npz",
     )

@@ -175,6 +175,16 @@ def extract_dataset(
             wr.writerows(radar_rows)
 
     gt = {}
+    if tracklet_xml is not None and camera_timestamps is None:
+        # tracklet pose rows are camera-frame-indexed (the reference joins
+        # frame id -> timestamp through the /image_raw stream,
+        # tracket_parser.py:73-93) — without a camera stream the join is
+        # undefined. Say so instead of silently dropping the user's GT.
+        log.warning(
+            "--tracklet %s ignored: no camera timestamps in this source "
+            "(tracklet frame indices are camera-frame-indexed)",
+            tracklet_xml,
+        )
     if tracklet_xml is not None and camera_timestamps is not None:
         tracklets = parse_tracklet_xml(tracklet_xml)
         source = flatten_tracklets(tracklets, list(map(int, camera_timestamps)))

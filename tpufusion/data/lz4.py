@@ -1,4 +1,9 @@
-"""LZ4 block + frame codec (pure python, no external lz4 module).
+"""LZ4 block + frame codec (no external lz4 module).
+
+Every function routes through the native codec in
+tpufusion/native/fastpoints.c when built (frame decode, frame/block
+encode, block decode); the pure-python implementations below are the
+tested fallbacks and the format documentation.
 
 ROS1 bags with `compression=lz4` chunks use roslz4's streaming format,
 which is the LZ4 Frame format (magic 0x184D2204): FLG/BD descriptor,
@@ -41,6 +46,17 @@ def lz4_block_decompress(src: bytes, max_size: int | None = None) -> bytes:
             raise ValueError("lz4: output exceeds declared size")
         return out
     dst = bytearray()
+    _block_into(dst, src, max_size)
+    return bytes(dst)
+
+
+def _block_into(dst: bytearray, src: bytes,
+                max_total: int | None = None) -> None:
+    """Decode one LZ4 block appending to `dst`. Match offsets may reach
+    back across earlier content of `dst` (a superset of block-independent
+    decoding — also handles block-linked frames, where roslz4's streaming
+    writer lets matches reference the previous 64 KB block). `max_total`
+    bounds len(dst) after the append."""
     i, n = 0, len(src)
     while i < n:
         token = src[i]
@@ -74,15 +90,14 @@ def lz4_block_decompress(src: bytes, max_size: int | None = None) -> bytes:
         mlen += _MIN_MATCH
         start = len(dst) - offset
         if start < 0:
-            raise ValueError("lz4: match offset before block start")
+            raise ValueError("lz4: match offset before output start")
         if offset >= mlen:
             dst += dst[start : start + mlen]
         else:  # overlapping copy replicates the pattern byte-by-byte
             for k in range(mlen):
                 dst.append(dst[start + k])
-        if max_size is not None and len(dst) > max_size:
+        if max_total is not None and len(dst) > max_total:
             raise ValueError("lz4: output exceeds declared size")
-    return bytes(dst)
 
 
 def _emit_length(dst: bytearray, extra: int) -> None:
@@ -108,6 +123,11 @@ def _emit_sequence(
 
 
 def lz4_block_compress(src: bytes) -> bytes:
+    from tpufusion.native import get_fastpoints
+
+    fp = get_fastpoints()
+    if fp is not None and hasattr(fp, "lz4_compress"):
+        return fp.lz4_compress(bytes(src))
     n = len(src)
     dst = bytearray()
     if n == 0:
@@ -141,6 +161,11 @@ def lz4_block_compress(src: bytes) -> bytes:
 
 
 def lz4_frame_compress(data: bytes, block_size: int = 1 << 16) -> bytes:
+    from tpufusion.native import get_fastpoints
+
+    fp = get_fastpoints()
+    if fp is not None and hasattr(fp, "lz4_frame_compress"):
+        return fp.lz4_frame_compress(bytes(data), block_size)
     out = bytearray(struct.pack("<I", LZ4_FRAME_MAGIC))
     flg = (1 << 6) | (1 << 5)  # version 01, block-independent, no checksums
     bd = 0x40  # block max size id 4 (64 KB)
@@ -158,7 +183,19 @@ def lz4_frame_compress(data: bytes, block_size: int = 1 << 16) -> bytes:
     return bytes(out)
 
 
-def lz4_frame_decompress(data: bytes) -> bytes:
+def lz4_frame_decompress(data: bytes,
+                         expected_size: int | None = None) -> bytes:
+    """Decode a whole lz4 bag chunk. `expected_size` is the chunk
+    record's declared uncompressed size: the native path preallocates the
+    output once and hard-bounds it (a lying header errors instead of
+    allocating unbounded)."""
+    from tpufusion.native import get_fastpoints
+
+    fp = get_fastpoints()
+    if fp is not None and hasattr(fp, "lz4_frame_decompress"):
+        return fp.lz4_frame_decompress(
+            bytes(data), -1 if expected_size is None else expected_size
+        )
     if len(data) < 7:
         raise ValueError("lz4 frame too short")
     (magic,) = struct.unpack_from("<I", data, 0)
@@ -185,7 +222,12 @@ def lz4_frame_decompress(data: bytes) -> bytes:
         if len(block) != bsize:
             raise ValueError("lz4: truncated block")
         pos += bsize
-        out += block if is_raw else lz4_block_decompress(block)
+        if is_raw:
+            out += block
+        else:
+            _block_into(out, block, expected_size)
+        if expected_size is not None and len(out) > expected_size:
+            raise ValueError("lz4: output exceeds declared size")
         if block_checksum:
             pos += 4
     return bytes(out)

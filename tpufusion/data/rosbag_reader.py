@@ -119,7 +119,14 @@ class BagReader:
                     elif comp == "lz4":
                         from tpufusion.data.lz4 import lz4_frame_decompress
 
-                        payload = lz4_frame_decompress(data)
+                        # the chunk record declares its uncompressed size:
+                        # lets the native decoder allocate once + bound
+                        raw_size = header.get("size")
+                        payload = lz4_frame_decompress(
+                            data,
+                            struct.unpack("<I", raw_size)[0]
+                            if raw_size else None,
+                        )
                     else:
                         raise NotImplementedError(
                             f"chunk compression {comp!r}"

@@ -36,10 +36,10 @@ from tpufusion.eval.scoring import score_poses
 from tpufusion.geometry.range_view import range_view_project_batch
 
 
-def _load_asset():
+def _load_asset(asset_path=None):
     from tpufusion.benchmarks import _quick_trained_state
 
-    return _quick_trained_state()
+    return _quick_trained_state(asset_path=asset_path)
 
 
 def run_condition(graphdef, state, dcfg, head, n_batches=4, batch=32,
@@ -79,9 +79,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--eval_batches", type=int, default=4)
+    ap.add_argument("--asset", default=None,
+                    help="explicit detector asset npz (default: the "
+                         "shipped flagship)")
     args = ap.parse_args(argv)
 
-    graphdef, state, dcfg, head = _load_asset()
+    graphdef, state, dcfg, head = _load_asset(args.asset)
     base_kw = dict(n_points=32768, max_yaw=0.05)
 
     conditions = [
@@ -94,6 +97,15 @@ def main(argv=None):
         ("varied sizes", dict(**base_kw, vary_size=True)),
         ("yaw +-0.2", dict(n_points=32768, max_yaw=0.2)),
         ("yaw +-0.4", dict(n_points=32768, max_yaw=0.4)),
+        # oriented-ellipse vehicle surface: the physical orientation the
+        # reference's orbit-origin convention implies, where yaw IS
+        # observable from geometry (the circle rows above measure the
+        # symmetric-surface regime where no detector can recover yaw)
+        ("ellipse yaw 0", dict(**base_kw, vehicle_surface="ellipse")),
+        ("ellipse yaw +-0.2", dict(n_points=32768, max_yaw=0.2,
+                                   vehicle_surface="ellipse")),
+        ("ellipse yaw +-0.4", dict(n_points=32768, max_yaw=0.4,
+                                   vehicle_surface="ellipse")),
     ]
     rows = {}
     base_preds = base_truth = None

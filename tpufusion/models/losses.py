@@ -52,6 +52,14 @@ def weighted_pose_loss(
 
     if use_regression:
         diff = y_true[..., 2:] - y_pred[..., 2:]
+        if cfg.reg_channel_weights is not None:
+            cw = jnp.asarray(cfg.reg_channel_weights, diff.dtype)
+            if cw.shape[0] != diff.shape[-1]:
+                raise ValueError(
+                    f"reg_channel_weights has {cw.shape[0]} entries for "
+                    f"{diff.shape[-1]} regression channels"
+                )
+            diff = diff * cw
         w2r = w2
         if cfg.reg_target_norm_clip is not None:
             # supervise only pixels whose target is well-defined (surface

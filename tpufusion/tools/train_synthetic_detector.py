@@ -196,6 +196,10 @@ def main(argv=None):
     # legacy dense-clutter scenes (kept for comparisons)
     ap.add_argument("--scenes", choices=("beam", "beam-ellipse", "uniform"),
                     default="beam")
+    # direct head only: multiplier on the sin/cos yaw channels inside the
+    # joint reg-channel L2 (LossConfig.reg_channel_weights) — the <=0.43
+    # magnitude yaw targets are gradient-starved next to meter-scale dc
+    ap.add_argument("--yaw_weight", type=float, default=1.0)
     ap.add_argument("--init_from", default=None,
                     help="warm-start weights from an existing asset npz "
                          "(fine-tuning, e.g. for robustness passes)")
@@ -239,6 +243,11 @@ def main(argv=None):
             avg_obj_size=stats["average_area"],
             weight_bb=args.weight_bb,
             reg_target_norm_clip=args.reg_clip,
+            reg_channel_weights=(
+                (1.0,) * 6 + (args.yaw_weight,) * 2
+                if args.head == "direct" and args.yaw_weight != 1.0
+                else None
+            ),
         ),
         TrainConfig(batch_size=args.batch,
                     augment=args.head != "direct"),

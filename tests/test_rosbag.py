@@ -352,3 +352,32 @@ def test_lz4_block_linked_frame_decodes():
     fp = get_fastpoints()
     if fp is not None and hasattr(fp, "lz4_frame_decompress"):
         assert fp.lz4_frame_decompress(frame, -1) == want
+
+
+def test_multi_chunk_bag_roundtrip(tmp_path, rng):
+    """BagWriter splits chunks at the threshold (like rosbag's writer);
+    the streaming reader yields every message in file order across chunk
+    boundaries, for every compression. Each chunk is self-contained
+    (connection records replayed per chunk)."""
+    pts = rng.normal(0, 20, (40, 500, 4)).astype(np.float32)
+    for comp in ("none", "lz4"):
+        w = BagWriter(compression=comp, chunk_threshold=32_768)
+        w.add_connection(0, "/velodyne_points", "sensor_msgs/PointCloud2")
+        for i in range(40):
+            w.add_message(0, 1_000_000 * i, serialize_pointcloud2(pts[i]))
+        path = str(tmp_path / f"multi_{comp}.bag")
+        w.write(path)
+        # more than one chunk actually written
+        n_chunks = 0
+        with open(path, "rb") as f:
+            f.readline()
+            from tpufusion.data.rosbag_reader import _iter_file_records
+
+            for header, _ in _iter_file_records(f):
+                n_chunks += header.get("op", b"\x00")[0] == 0x05
+        assert n_chunks > 1, f"{comp}: expected multiple chunks"
+        msgs = list(BagReader(path).read_messages())
+        assert len(msgs) == 40
+        assert [m.timestamp for m in msgs] == [1_000_000 * i for i in range(40)]
+        got = parse_pointcloud2(msgs[17].raw)
+        np.testing.assert_allclose(got, pts[17], rtol=1e-6)

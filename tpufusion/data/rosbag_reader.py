@@ -79,13 +79,35 @@ class BagMessage:
     definition: str = ""  # embedded .msg definition from the connection
 
 
+def _iter_file_records(f):
+    """Stream (header, data) records from an open bag file. Reads are
+    bounded by one record (the largest is a chunk, a few MB) — the
+    reader never holds the whole bag (real challenge bags are 10-20 GB)."""
+    while True:
+        head = f.read(4)
+        if len(head) < 4:
+            return
+        (hlen,) = struct.unpack("<I", head)
+        hbuf = f.read(hlen)
+        dhead = f.read(4)
+        if len(hbuf) < hlen or len(dhead) < 4:
+            return  # truncated tail
+        header = _parse_header(hbuf)
+        (dlen,) = struct.unpack("<I", dhead)
+        data = f.read(dlen)
+        if len(data) < dlen:
+            return
+        yield header, data
+
+
 class BagReader:
     def __init__(self, path: str):
+        self._path = path
         with open(path, "rb") as f:
             magic = f.readline()
             if not magic.startswith(b"#ROSBAG V2.0"):
                 raise ValueError(f"not a ROS1 v2.0 bag: {magic!r}")
-            self._buf = f.read()
+            self._start = f.tell()
         self.connections: dict[int, Connection] = {}
 
     def _handle_conn(self, header, data):
@@ -101,55 +123,64 @@ class BagReader:
             ).decode(errors="replace"),
         )
 
+    def _decompress_chunk(self, header, data) -> bytes:
+        comp = header.get("compression", b"none").decode()
+        if comp == "none":
+            return data
+        if comp == "bz2":
+            return bz2.decompress(data)
+        if comp == "lz4":
+            from tpufusion.data.lz4 import lz4_frame_decompress
+
+            # the chunk record declares its uncompressed size: lets the
+            # native decoder allocate once + treat it as a hard bound
+            raw_size = header.get("size")
+            return lz4_frame_decompress(
+                data,
+                struct.unpack("<I", raw_size)[0] if raw_size else None,
+            )
+        raise NotImplementedError(f"chunk compression {comp!r}")
+
+    def _record_to_msg(self, header, data, topics) -> BagMessage | None:
+        op = header.get("op", b"\x00")[0]
+        if op == _OP_CONN:
+            self._handle_conn(header, data)
+        elif op == _OP_MSG:
+            cid = struct.unpack("<I", header["conn"])[0]
+            sec, nsec = struct.unpack("<II", header["time"])
+            conn = self.connections.get(cid)
+            if conn is None:
+                return None
+            if topics and conn.topic not in topics:
+                return None
+            return BagMessage(
+                topic=conn.topic,
+                msg_type=conn.msg_type,
+                timestamp=sec * 1_000_000_000 + nsec,
+                raw=data,
+                definition=conn.message_definition,
+            )
+        # 0x03/0x04/0x06 carry no messages
+        return None
+
     def read_messages(self, topics=None):
-        """Yields BagMessage in file order."""
+        """Yields BagMessage in file order, streaming from disk: peak
+        memory is one decompressed chunk, not the bag."""
         topics = set(topics) if topics else None
-
-        def walk(buf):
-            for header, data in _iter_records(buf):
-                op = header.get("op", b"\x00")[0]
-                if op == _OP_CONN:
-                    self._handle_conn(header, data)
-                elif op == _OP_CHUNK:
-                    comp = header.get("compression", b"none").decode()
-                    if comp == "none":
-                        payload = data
-                    elif comp == "bz2":
-                        payload = bz2.decompress(data)
-                    elif comp == "lz4":
-                        from tpufusion.data.lz4 import lz4_frame_decompress
-
-                        # the chunk record declares its uncompressed size:
-                        # lets the native decoder allocate once + bound
-                        raw_size = header.get("size")
-                        payload = lz4_frame_decompress(
-                            data,
-                            struct.unpack("<I", raw_size)[0]
-                            if raw_size else None,
-                        )
-                    else:
-                        raise NotImplementedError(
-                            f"chunk compression {comp!r}"
-                        )
-                    yield from walk(payload)
-                elif op == _OP_MSG:
-                    cid = struct.unpack("<I", header["conn"])[0]
-                    sec, nsec = struct.unpack("<II", header["time"])
-                    conn = self.connections.get(cid)
-                    if conn is None:
-                        continue
-                    if topics and conn.topic not in topics:
-                        continue
-                    yield BagMessage(
-                        topic=conn.topic,
-                        msg_type=conn.msg_type,
-                        timestamp=sec * 1_000_000_000 + nsec,
-                        raw=data,
-                        definition=conn.message_definition,
-                    )
-                # 0x03/0x04/0x06 carry no messages
-
-        yield from walk(self._buf)
+        with open(self._path, "rb") as f:
+            f.seek(self._start)
+            for header, data in _iter_file_records(f):
+                if header.get("op", b"\x00")[0] == _OP_CHUNK:
+                    payload = self._decompress_chunk(header, data)
+                    del data
+                    for h2, d2 in _iter_records(payload):
+                        msg = self._record_to_msg(h2, d2, topics)
+                        if msg is not None:
+                            yield msg
+                else:
+                    msg = self._record_to_msg(header, data, topics)
+                    if msg is not None:
+                        yield msg
 
 
 # ---- message deserializers ----
@@ -341,20 +372,34 @@ def _record(fields: dict[str, bytes], data: bytes) -> bytes:
 
 
 class BagWriter:
-    """Writes a valid single-chunk v2.0 bag (compression none/bz2/lz4)."""
+    """Writes a valid v2.0 bag (compression none/bz2/lz4), splitting
+    chunks at `chunk_threshold` bytes like rosbag's writer does — the
+    streaming reader's peak memory is one decompressed chunk, so a
+    single-chunk multi-GB bag would defeat it. Connection records are
+    replayed at the head of every chunk (the reference reader tolerates
+    re-definitions; ours overwrites idempotently)."""
 
-    def __init__(self, compression: str = "none"):
+    def __init__(self, compression: str = "none",
+                 chunk_threshold: int = 4 << 20):
         if compression not in ("none", "bz2", "lz4"):
             raise ValueError(f"unsupported compression {compression!r}")
         self.compression = compression
+        self.chunk_threshold = int(chunk_threshold)
+        self._conns = b""  # connection records, replayed per chunk
         self._chunk = b""
+        self._chunks: list[bytes] = []  # finished raw (uncompressed) chunks
         self._count = 0
+
+    def _roll_chunk(self):
+        if self._chunk:
+            self._chunks.append(self._chunk)
+            self._chunk = b""
 
     def add_connection(
         self, conn_id: int, topic: str, msg_type: str,
         message_definition: str = "",
     ):
-        self._chunk += _record(
+        self._conns += _record(
             {
                 "op": bytes([_OP_CONN]),
                 "conn": struct.pack("<I", conn_id),
@@ -380,8 +425,12 @@ class BagWriter:
             raw,
         )
         self._count += 1
+        if len(self._chunk) >= self.chunk_threshold:
+            self._roll_chunk()
 
     def write(self, path: str):
+        self._roll_chunk()
+        chunks = self._chunks or [b""]
         with open(path, "wb") as f:
             f.write(b"#ROSBAG V2.0\n")
             f.write(
@@ -390,29 +439,31 @@ class BagWriter:
                         "op": bytes([_OP_BAGHDR]),
                         "index_pos": struct.pack("<Q", 0),
                         "conn_count": struct.pack("<I", 1),
-                        "chunk_count": struct.pack("<I", 1),
+                        "chunk_count": struct.pack("<I", len(chunks)),
                     },
                     b" " * 4096,  # bag headers are padded
                 )
             )
-            if self.compression == "bz2":
-                payload = bz2.compress(self._chunk)
-            elif self.compression == "lz4":
-                from tpufusion.data.lz4 import lz4_frame_compress
+            for raw in chunks:
+                raw = self._conns + raw
+                if self.compression == "bz2":
+                    payload = bz2.compress(raw)
+                elif self.compression == "lz4":
+                    from tpufusion.data.lz4 import lz4_frame_compress
 
-                payload = lz4_frame_compress(self._chunk)
-            else:
-                payload = self._chunk
-            f.write(
-                _record(
-                    {
-                        "op": bytes([_OP_CHUNK]),
-                        "compression": self.compression.encode(),
-                        "size": struct.pack("<I", len(self._chunk)),
-                    },
-                    payload,
+                    payload = lz4_frame_compress(raw)
+                else:
+                    payload = raw
+                f.write(
+                    _record(
+                        {
+                            "op": bytes([_OP_CHUNK]),
+                            "compression": self.compression.encode(),
+                            "size": struct.pack("<I", len(raw)),
+                        },
+                        payload,
+                    )
                 )
-            )
 
 
 def serialize_pointcloud2(points: np.ndarray, frame_id: str = "velodyne"):

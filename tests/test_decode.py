@@ -373,3 +373,100 @@ def test_direct_consensus_center_mode():
     np.testing.assert_allclose(
         poses["consensus"][sel], poses["surface"][sel], atol=1e-5
     )
+
+
+def test_direct_yaw_frame_local_semantics():
+    """The local yaw codec: (a) sc channels equal sin/cos(yaw - theta_px)
+    exactly; (b) the global-frame codec still round-trips when both sides
+    pin it (shipped pre-round-3 assets); (c) local targets are
+    azimuth-equivariant — the fg sc values are identical for the same
+    vehicle placed at two different azimuths, which is the property that
+    makes the target learnable by a translation-equivariant conv trunk
+    (global targets differ by construction)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_points_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.encoding import (
+        encode_direct_label_batch,
+        pixel_angles,
+    )
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt = synthesize_points_batch(
+        jax.random.PRNGKey(5), 4, 16384, max_yaw=0.4
+    )
+    imgs = range_view_project_batch(pts, spec)
+
+    # (a) channel semantics
+    lab = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec, yaw_frame="local"
+    )
+    theta, _ = pixel_angles(spec)
+    fg = np.asarray(lab[..., 1]) > 0.5
+    for b in range(4):
+        # ray azimuth is -theta, so the local target is yaw + theta
+        want_s = np.sin(float(gt["yaw"][b]) + np.asarray(theta))[fg[b]]
+        np.testing.assert_allclose(
+            np.asarray(lab[b, ..., 8])[fg[b]], want_s, atol=1e-5
+        )
+
+    # (b) global codec round-trips when pinned on both sides
+    lab_g = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec, yaw_frame="global"
+    )
+    dcfg = dataclasses.replace(
+        cfg.decode, min_bbox_area=20.0, direct_yaw_frame="global"
+    )
+    out = decode_batch_direct(lab_g, imgs, spec, dcfg, 1, center="head")
+    np.testing.assert_allclose(
+        np.asarray(out["poses"])[:, 0, 3], np.asarray(gt["yaw"]), atol=1e-3
+    )
+
+    # (c) learnability: under the orbit convention the physical heading is
+    # yaw and the physical position azimuth is center_az + yaw, so the
+    # arc's orientation RELATIVE to the viewing ray is -center_az —
+    # independent of yaw. The local target sin(yaw + theta) therefore
+    # equals sin(-center_az) on the cluster for ANY yaw: two scenes with
+    # the same unrotated center but different yaws must produce the same
+    # local targets (the yaw information is carried by the cluster's image
+    # POSITION, which the decode adds back via theta). This is exactly the
+    # translation-invariant quantity a conv trunk can learn.
+    ang = 0.5
+    center_a = jnp.asarray(
+        [[12.0 * np.cos(ang), 12.0 * np.sin(ang), -1.0]]
+    )
+    center_b = center_a
+    size = jnp.asarray([[4.2, 1.6, 1.5]])
+    yaw_a, yaw_b = jnp.asarray([0.3]), jnp.asarray([-0.2])
+    # dense synthetic points around each PHYSICAL box position (the orbit
+    # convention places the box at Rz(yaw) @ center) so the surface is hit
+    def phys(c, y):
+        cy, sy = np.cos(float(y[0])), np.sin(float(y[0]))
+        return jnp.asarray(
+            [cy * c[0, 0] - sy * c[0, 1], sy * c[0, 0] + cy * c[0, 1],
+             c[0, 2]]
+        )
+
+    k = jax.random.PRNGKey(0)
+    cloud_a = phys(center_a, yaw_a) + 2.0 * jax.random.normal(k, (1, 8192, 3))
+    cloud_b = phys(center_b, yaw_b) + 2.0 * jax.random.normal(k, (1, 8192, 3))
+    pa = jnp.concatenate([cloud_a, jnp.ones((1, 8192, 1))], -1)
+    pb = jnp.concatenate([cloud_b, jnp.ones((1, 8192, 1))], -1)
+    im_a = range_view_project_batch(pa, spec)
+    im_b = range_view_project_batch(pb, spec)
+    la = encode_direct_label_batch(center_a, size, yaw_a, im_a, spec)
+    lb = encode_direct_label_batch(center_b, size, yaw_b, im_b, spec)
+    sa = np.asarray(la[0, ..., 8])[np.asarray(la[0, ..., 1]) > 0.5]
+    sb = np.asarray(lb[0, ..., 8])[np.asarray(lb[0, ..., 1]) > 0.5]
+    assert sa.size and sb.size
+    want = np.sin(-ang)
+    assert abs(sa.mean() - want) < 0.05, (sa.mean(), want)
+    assert abs(sb.mean() - want) < 0.05, (sb.mean(), want)

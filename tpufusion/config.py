@@ -245,6 +245,16 @@ class DecodeConfig:
     #                 centers (exact inverse of encode_direct_label)
     # Detector assets ship the mode they validated best with.
     direct_center: str = "backproject"
+    # Frame of the direct head's sin/cos yaw channels:
+    #   local  — sin/cos(yaw - theta_pixel), the pixel's viewing-ray frame.
+    #            A conv net is translation-equivariant along azimuth and the
+    #            visible surface arc only encodes yaw RELATIVE to the ray,
+    #            so global-yaw targets cannot generalize (measured: one
+    #            batch overfits to corr 0.99, held-out scenes stay at 0.07).
+    #            Local targets are learnable AND roll-invariant.
+    #   global — raw sin/cos(yaw): the pre-round-3 codec, kept for shipped
+    #            assets trained with it (their jsons pin this).
+    direct_yaw_frame: str = "local"
 
 
 @dataclass(frozen=True)

@@ -537,8 +537,22 @@ def _direct_pose_from_cluster(
     tot = jnp.maximum(jnp.sum(w), 1e-6)
 
     lwh = jnp.sum(y_pred[..., 5:8] * w[..., None], axis=(0, 1)) / tot
-    sin_m = jnp.sum(y_pred[..., 8] * w) / tot
-    cos_m = jnp.sum(y_pred[..., 9] * w) / tot
+    s_px, c_px = y_pred[..., 8], y_pred[..., 9]
+    if cfg.direct_yaw_frame == "local":
+        # channels carry sin/cos(yaw + theta_pixel) — yaw relative to the
+        # pixel's physical ray azimuth -theta (see encode_direct_label):
+        # rotate each pixel's vector back BEFORE averaging (angle
+        # subtraction on the vector field)
+        from tpufusion.geometry.encoding import pixel_angles
+
+        theta, _ = pixel_angles(spec)
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        s_px, c_px = s_px * ct - c_px * st, c_px * ct + s_px * st
+    elif cfg.direct_yaw_frame != "global":
+        raise ValueError(f"unknown direct_yaw_frame "
+                         f"{cfg.direct_yaw_frame!r}")
+    sin_m = jnp.sum(s_px * w) / tot
+    cos_m = jnp.sum(c_px * w) / tot
     yaw = jnp.arctan2(sin_m, cos_m)
 
     p = jax.lax.stop_gradient(pixel_points(image, spec))  # (H, W, 3)

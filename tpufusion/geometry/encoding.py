@@ -240,15 +240,22 @@ def encode_direct_label(
     image: jax.Array,  # (H, W, >=2)
     spec: RangeViewSpec = RangeViewSpec(),
     footprint: str = "surface",
+    yaw_frame: str = "local",
 ) -> jax.Array:
     """(H, W, 2 + 8) target: [bkg, fg, dc(3), lwh(3), sin yaw, cos yaw].
 
     dc = R^T (c_phys - p) in the pixel's local frame (same frame as the
     corner codec, so it is exactly invariant under azimuth rolls), with
     c_phys = Rz(yaw) @ center — the box's physical position under the
-    reference's orbit-origin convention (box_corners_3d). The sin/cos
-    channels are NOT roll-invariant (a roll rotates physical yaw);
-    direct-head training disables the roll augmentation.
+    reference's orbit-origin convention (box_corners_3d).
+
+    yaw_frame="local" supervises sin/cos(yaw - theta_pixel) — yaw in each
+    pixel's viewing-ray frame. A conv trunk is translation-equivariant
+    along azimuth while the visible arc only encodes orientation RELATIVE
+    to the ray, so global sin/cos targets memorize but cannot generalize
+    (DecodeConfig.direct_yaw_frame documents the measurement); local
+    targets are learnable and, like dc, exactly roll-invariant.
+    "global" keeps the raw sin/cos(yaw) codec for assets trained with it.
 
     footprint="surface" paints fg on the box's actual surface returns
     (box_surface_mask — the fix for the outer-rect's oblique-view
@@ -274,17 +281,29 @@ def encode_direct_label(
     )  # (H, W, 3) — R^T (c_phys - p)
     hw = mask.shape
     lwh = jnp.broadcast_to(size[None, None, :], (*hw, 3))
-    sc = jnp.broadcast_to(
-        jnp.stack([jnp.sin(yaw), jnp.cos(yaw)])[None, None, :], (*hw, 2)
-    )
+    if yaw_frame == "local":
+        # the pixel's physical ray azimuth is -theta (the image column
+        # axis is mirrored vs world azimuth, following the reference's
+        # projection flips), so yaw-relative-to-ray = yaw - (-theta)
+        theta, _ = pixel_angles(spec)  # (H, W)
+        sc = jnp.stack([jnp.sin(yaw + theta), jnp.cos(yaw + theta)], axis=-1)
+    elif yaw_frame == "global":
+        sc = jnp.broadcast_to(
+            jnp.stack([jnp.sin(yaw), jnp.cos(yaw)])[None, None, :], (*hw, 2)
+        )
+    else:
+        raise ValueError(f"unknown yaw_frame {yaw_frame!r}")
     reg = jnp.concatenate([dc, lwh, sc], axis=-1) * mask[..., None]
     onehot = jnp.stack([1.0 - mask, mask], axis=-1)
     return jnp.concatenate([onehot, reg], axis=-1)
 
 
 def encode_direct_label_batch(centers, sizes, yaws, images, spec,
-                              footprint: str = "surface"):
+                              footprint: str = "surface",
+                              yaw_frame: str = "local"):
     """vmapped encode_direct_label -> (B, H, W, 10)."""
     return jax.vmap(
-        lambda c, s, y, im: encode_direct_label(c, s, y, im, spec, footprint)
+        lambda c, s, y, im: encode_direct_label(
+            c, s, y, im, spec, footprint, yaw_frame
+        )
     )(centers, sizes, yaws, images)

@@ -322,6 +322,10 @@ def _write_asset_json(args, best):
               "min_bbox_area": args.eval_min_bbox_area}
     if "center" in best and best["center"]:
         decode["direct_center"] = best["center"]
+    if args.head == "direct":
+        # pin the yaw-channel frame the asset was trained with (the codec
+        # default changed to "local" in round 3; older assets are global)
+        decode["direct_yaw_frame"] = "local"
     with open(args.out + ".json", "w") as f:
         json.dump({"best": best, "steps": args.steps,
                    "scenes": args.scenes,

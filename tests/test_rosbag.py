@@ -381,3 +381,72 @@ def test_multi_chunk_bag_roundtrip(tmp_path, rng):
         assert [m.timestamp for m in msgs] == [1_000_000 * i for i in range(40)]
         got = parse_pointcloud2(msgs[17].raw)
         np.testing.assert_allclose(got, pts[17], rtol=1e-6)
+
+
+def test_streaming_extract_matches_inram(tmp_path, rng):
+    """streaming=True (two passes, memmap .npy outputs, one projection
+    batch in RAM) produces the same tensors, timestamps, GT CSVs, and
+    radar CSV as the in-RAM .npz path — including duplicate-timestamp
+    dedup and tracklet interpolation. load_extracted reads both layouts."""
+    import filecmp
+    import os
+
+    from tpufusion.config import RangeViewSpec
+    from tpufusion.data.etl import (
+        extract_bag_dataset,
+        load_camera_extracted,
+        load_extracted,
+    )
+    from tpufusion.eval.tracklet_xml import Tracklet, TrackletCollection
+
+    w = BagWriter(compression="lz4")
+    w.add_connection(0, "/velodyne_points", "sensor_msgs/PointCloud2")
+    w.add_connection(1, "/image_raw", "sensor_msgs/Image")
+    w.add_connection(2, "/radar/tracks", "radar_driver/RadarTracks",
+                     message_definition=RADAR_TRACKS_DEFINITION)
+    t0 = 1_490_000_000_000_000_000
+    n_frames = 7
+    tr = Tracklet("Car", l=4.2, w=1.6, h=1.5)
+    for i in range(n_frames):
+        # varying cloud sizes exercise padding; one duplicate timestamp
+        # exercises dedup in both paths
+        ts = t0 + (i if i != 3 else 2) * 100_000_000
+        pts = rng.normal(0, 20, (400 + 60 * i, 4)).astype(np.float32)
+        w.add_message(0, ts, serialize_pointcloud2(pts))
+        img = rng.integers(0, 255, (64, 80, 3)).astype(np.uint8)
+        w.add_message(1, ts + 30_000_000, serialize_image(img, "rgb8"))
+        tr.poses.append({"tx": 10.0 + i, "ty": -2.0, "tz": -1.0,
+                         "rx": 0.0, "ry": 0.0, "rz": 0.02 * i})
+    w.add_message(2, t0 + 50_000_000,
+                  serialize_radar_tracks([{"range": 20.0, "angle": 4.0}],
+                                         t0 + 50_000_000))
+    bag = tmp_path / "s.bag"
+    w.write(str(bag))
+    gt_xml = tmp_path / "gt.xml"
+    TrackletCollection([tr]).write_xml(str(gt_xml))
+
+    spec = RangeViewSpec(res_h_deg=1.8)
+    kw = dict(tracklet_xml=str(gt_xml), crop=(10, 42),
+              spec=spec, save_png=False)
+    rep_a = extract_bag_dataset(str(bag), str(tmp_path / "inram"),
+                                streaming=False, **kw)
+    rep_b = extract_bag_dataset(str(bag), str(tmp_path / "stream"),
+                                streaming=True, batch=4, **kw)
+    assert rep_b.pop("streaming") is True
+    assert rep_a == rep_b  # frames, max gaps, gt counts
+
+    a = load_extracted(str(tmp_path / "inram"))
+    b = load_extracted(str(tmp_path / "stream"))
+    assert os.path.exists(tmp_path / "stream" / "lidar_frames.npy")
+    np.testing.assert_array_equal(a["timestamps"], b["timestamps"])
+    np.testing.assert_allclose(a["images"], np.asarray(b["images"]),
+                               atol=1e-6)
+    ca = load_camera_extracted(str(tmp_path / "inram"))
+    cb = load_camera_extracted(str(tmp_path / "stream"))
+    np.testing.assert_array_equal(ca["images"], np.asarray(cb["images"]))
+    np.testing.assert_array_equal(ca["timestamps"], cb["timestamps"])
+    for f in ("obs_poses_interp_transform.csv", "obs_poses_camera.csv",
+              "lidar_timestamps.csv", "camera_timestamps.csv",
+              os.path.join("radar", "radar_tracks.csv")):
+        assert filecmp.cmp(tmp_path / "inram" / f, tmp_path / "stream" / f,
+                           shallow=False), f

@@ -215,6 +215,7 @@ def _cmd_extract(args):
             extrinsic_yaml=args.extrinsic_yaml,
             crop=(args.crop_top, args.crop_bottom),
             save_png=args.png,
+            streaming=args.streaming,
         )
     else:
         from tpufusion.data.etl import extract_dataset
@@ -422,6 +423,10 @@ def main(argv=None):
                     help="lidar->camera extrinsics YAML")
     ex.add_argument("--crop_top", type=int, default=430)
     ex.add_argument("--crop_bottom", type=int, default=942)
+    ex.add_argument("--streaming", default=None,
+                    action=argparse.BooleanOptionalAction,
+                    help="two-pass memmap extraction (bounded host "
+                         "memory; default: auto by bag size)")
     ex.add_argument("--png", action="store_true",
                     help="also save per-frame camera PNGs")
     ex.set_defaults(fn=_cmd_extract)

@@ -51,6 +51,13 @@ def _write_ts_csv(path: str, timestamps) -> None:
             wr.writerow([int(t)])
 
 
+def _read_ts_csv(path: str) -> np.ndarray:
+    with open(path, newline="") as f:
+        rd = csv.reader(f)
+        next(rd)  # header
+        return np.asarray([int(r[0]) for r in rd], np.int64)
+
+
 def _write_pose_csv(path: str, rows) -> None:
     with open(path, "w", newline="") as f:
         wr = csv.DictWriter(
@@ -138,14 +145,10 @@ def extract_dataset(
             timestamps=lidar_timestamps,
         )
 
-    _write_ts_csv(os.path.join(out_dir, "lidar_timestamps.csv"), lidar_timestamps)
     if camera_timestamps is not None:
         camera_timestamps = np.asarray(camera_timestamps, np.int64)
         cam_keep = _dedup(camera_timestamps)
         camera_timestamps = camera_timestamps[cam_keep]
-        _write_ts_csv(
-            os.path.join(out_dir, "camera_timestamps.csv"), camera_timestamps
-        )
         if camera_frames is not None:
             camera_frames = np.asarray(camera_frames)[cam_keep]
             np.savez_compressed(
@@ -164,6 +167,30 @@ def extract_dataset(
                     PILImage.fromarray(frame).save(
                         os.path.join(png_dir, f"{int(ts)}_image.png")
                     )
+
+    return _write_metadata(
+        out_dir, lidar_timestamps, camera_timestamps, radar_rows,
+        tracklet_xml,
+    )
+
+
+def _write_metadata(
+    out_dir: str,
+    lidar_timestamps: np.ndarray,
+    camera_timestamps: np.ndarray | None,
+    radar_rows: list[dict] | None,
+    tracklet_xml: str | None,
+) -> dict:
+    """Non-tensor dataset artifacts, shared by the in-RAM and streaming
+    extractors: timestamp CSVs, radar CSV, interpolated tracklet GT, and
+    the max-gap report (timestamps must already be deduped)."""
+    _write_ts_csv(
+        os.path.join(out_dir, "lidar_timestamps.csv"), lidar_timestamps
+    )
+    if camera_timestamps is not None:
+        _write_ts_csv(
+            os.path.join(out_dir, "camera_timestamps.csv"), camera_timestamps
+        )
 
     if radar_rows:
         os.makedirs(os.path.join(out_dir, "radar"), exist_ok=True)
@@ -207,11 +234,28 @@ def extract_dataset(
 
 
 def load_extracted(out_dir: str) -> dict[str, np.ndarray]:
+    npy = os.path.join(out_dir, "lidar_frames.npy")
+    if os.path.exists(npy):
+        # streaming-extracted dataset: memmapped tensors + CSV timestamps
+        return {
+            "images": np.load(npy, mmap_mode="r"),
+            "timestamps": _read_ts_csv(
+                os.path.join(out_dir, "lidar_timestamps.csv")
+            ),
+        }
     data = np.load(os.path.join(out_dir, "lidar_frames.npz"))
     return {"images": data["images"], "timestamps": data["timestamps"]}
 
 
 def load_camera_extracted(out_dir: str) -> dict[str, np.ndarray]:
+    npy = os.path.join(out_dir, "camera_frames.npy")
+    if os.path.exists(npy):
+        return {
+            "images": np.load(npy, mmap_mode="r"),
+            "timestamps": _read_ts_csv(
+                os.path.join(out_dir, "camera_timestamps.csv")
+            ),
+        }
     data = np.load(os.path.join(out_dir, "camera_frames.npz"))
     return {"images": data["images"], "timestamps": data["timestamps"]}
 
@@ -229,18 +273,29 @@ def extract_bag_dataset(
     spec: RangeViewSpec = RangeViewSpec(),
     bev: BevSpec | None = None,
     save_png: bool = False,
+    streaming: bool | None = None,
+    batch: int = 32,
 ) -> dict:
     """One command: `.bag` -> full dataset dir, the counterpart of the
     reference's `extract_rosbag.py main` (`:234-314`): lidar clouds ->
     range-view tensors, `/image_raw` -> rectified+cropped camera frames
     (`handle_msg:141-160`), `/radar/tracks` -> CSV rows (`:136-139`),
     timestamp CSVs, and tracklet ground truth interpolated onto both
-    streams."""
+    streams.
+
+    streaming=None picks automatically: bags whose padded cloud tensor
+    would exceed ~1 GB are extracted in two streaming passes with the
+    output tensors written through disk memmaps (lidar_frames.npy /
+    camera_frames.npy instead of the .npz pair) — peak host memory is one
+    projection batch, so 10-20 GB challenge bags extract on small hosts.
+    load_extracted/load_camera_extracted read either layout (the .npy
+    memmap-backed)."""
     from tpufusion.data.rosbag_reader import (
         BagReader,
         parse_image,
         parse_pointcloud2,
         parse_radar_tracks,
+        pointcloud2_size,
     )
 
     camera = None
@@ -251,41 +306,157 @@ def extract_bag_dataset(
             camera_yaml, extrinsic_yaml
         )
 
+    def is_lidar(msg):
+        return (msg.topic == lidar_topic
+                or msg.msg_type == "sensor_msgs/PointCloud2")
+
+    def is_camera(msg):
+        return (msg.topic == image_topic
+                or msg.msg_type == "sensor_msgs/Image")
+
+    # ---- pass 1: timestamps, cloud sizes (header peeks), radar rows ----
     reader = BagReader(bag_path)
-    clouds: list[np.ndarray] = []
     lidar_ts: list[int] = []
-    cam_frames: list[np.ndarray] = []
+    lidar_n: list[int] = []
     cam_ts: list[int] = []
+    cam_shape: tuple | None = None
     radar_rows: list[dict] = []
     for msg in reader.read_messages():
-        if msg.topic == lidar_topic or msg.msg_type == "sensor_msgs/PointCloud2":
-            clouds.append(parse_pointcloud2(msg.raw))
+        if is_lidar(msg):
             lidar_ts.append(msg.timestamp)
-        elif msg.topic == image_topic or msg.msg_type == "sensor_msgs/Image":
-            img, encoding = parse_image(msg.raw)
-            cam_frames.append(
-                process_camera_frame(img, encoding, camera, crop)
-            )
+            lidar_n.append(pointcloud2_size(msg.raw))
+        elif is_camera(msg):
+            if cam_shape is None:
+                img, encoding = parse_image(msg.raw)
+                cam_shape = process_camera_frame(
+                    img, encoding, camera, crop
+                ).shape
             cam_ts.append(msg.timestamp)
         elif msg.topic == radar_topic:
             radar_rows.extend(parse_radar_tracks(msg))
 
-    if not clouds:
+    if not lidar_ts:
         raise ValueError(f"no {lidar_topic!r} messages in {bag_path}")
-    nmax = max(len(c) for c in clouds)
-    points = np.full((len(clouds), nmax, 4), np.nan, np.float32)
-    for i, c in enumerate(clouds):
-        points[i, : len(c)] = c
+    nmax = max(lidar_n)
+    if streaming is None:
+        streaming = len(lidar_ts) * nmax * 16 > (1 << 30)
 
-    return extract_dataset(
-        out_dir,
-        points,
-        np.asarray(lidar_ts, np.int64),
-        tracklet_xml=tracklet_xml,
-        camera_timestamps=np.asarray(cam_ts, np.int64) if cam_ts else None,
-        radar_rows=radar_rows,
-        camera_frames=np.stack(cam_frames) if cam_frames else None,
-        spec=spec,
-        bev=bev,
-        save_png=save_png,
+    if not streaming:
+        # in-RAM path (golden .npz layout): re-stream collecting payloads
+        clouds: list[np.ndarray] = []
+        cam_frames: list[np.ndarray] = []
+        for msg in BagReader(bag_path).read_messages():
+            if is_lidar(msg):
+                clouds.append(parse_pointcloud2(msg.raw))
+            elif is_camera(msg):
+                img, encoding = parse_image(msg.raw)
+                cam_frames.append(
+                    process_camera_frame(img, encoding, camera, crop)
+                )
+        points = np.full((len(clouds), nmax, 4), np.nan, np.float32)
+        for i, c in enumerate(clouds):
+            points[i, : len(c)] = c
+        return extract_dataset(
+            out_dir,
+            points,
+            np.asarray(lidar_ts, np.int64),
+            tracklet_xml=tracklet_xml,
+            camera_timestamps=(
+                np.asarray(cam_ts, np.int64) if cam_ts else None
+            ),
+            radar_rows=radar_rows,
+            camera_frames=np.stack(cam_frames) if cam_frames else None,
+            spec=spec,
+            bev=bev,
+            save_png=save_png,
+        )
+
+    # ---- streaming path: memmap outputs, one projection batch in RAM ---
+    os.makedirs(out_dir, exist_ok=True)
+    lidar_ts = np.asarray(lidar_ts, np.int64)
+    lidar_keep = np.zeros(len(lidar_ts), bool)
+    lidar_keep[_dedup(lidar_ts)] = True
+    if int(lidar_keep.sum()) != len(lidar_ts):
+        log.info("dropped %d duplicate lidar timestamps",
+                 len(lidar_ts) - int(lidar_keep.sum()))
+    cam_ts_arr = np.asarray(cam_ts, np.int64)
+    cam_keep = np.zeros(len(cam_ts_arr), bool)
+    if len(cam_ts_arr):
+        cam_keep[_dedup(cam_ts_arr)] = True
+
+    f_out = int(lidar_keep.sum())
+    images_mm = np.lib.format.open_memmap(
+        os.path.join(out_dir, "lidar_frames.npy"), mode="w+",
+        dtype=np.float32, shape=(f_out, spec.height, spec.width, 3),
     )
+    bev_mm = None
+    if bev is not None:
+        bev_mm = np.lib.format.open_memmap(
+            os.path.join(out_dir, "bev_frames.npy"), mode="w+",
+            dtype=np.float32, shape=(f_out, bev.height, bev.width, 1),
+        )
+    cam_mm = None
+    if len(cam_ts_arr) and cam_shape is not None:
+        cam_mm = np.lib.format.open_memmap(
+            os.path.join(out_dir, "camera_frames.npy"), mode="w+",
+            dtype=np.uint8, shape=(int(cam_keep.sum()), *cam_shape),
+        )
+    png_dir = os.path.join(out_dir, "camera")
+    if save_png and cam_mm is not None:
+        os.makedirs(png_dir, exist_ok=True)
+
+    buf: list[np.ndarray] = []
+    out_i = 0
+
+    def flush():
+        nonlocal out_i
+        if not buf:
+            return
+        # pad the batch dimension so the jitted projection compiles once
+        pts = np.full((batch, nmax, 4), np.nan, np.float32)
+        for j, c in enumerate(buf):
+            pts[j, : len(c)] = c
+        chunk = jax.numpy.asarray(pts)
+        imgs = np.asarray(range_view_project_batch(chunk, spec))
+        images_mm[out_i : out_i + len(buf)] = imgs[: len(buf)]
+        if bev_mm is not None:
+            bv = np.asarray(bev_rasterize_batch(chunk, bev))
+            bev_mm[out_i : out_i + len(buf)] = bv[: len(buf)]
+        out_i += len(buf)
+        buf.clear()
+
+    i_lidar = i_cam = cam_out = 0
+    for msg in BagReader(bag_path).read_messages():
+        if is_lidar(msg):
+            if lidar_keep[i_lidar]:
+                buf.append(parse_pointcloud2(msg.raw))
+                if len(buf) == batch:
+                    flush()
+            i_lidar += 1
+        elif is_camera(msg):
+            if cam_keep[i_cam] and cam_mm is not None:
+                img, encoding = parse_image(msg.raw)
+                frame = process_camera_frame(img, encoding, camera, crop)
+                cam_mm[cam_out] = frame
+                if save_png:
+                    from PIL import Image as PILImage
+
+                    PILImage.fromarray(frame).save(os.path.join(
+                        png_dir, f"{int(cam_ts_arr[i_cam])}_image.png"
+                    ))
+                cam_out += 1
+            i_cam += 1
+    flush()
+    images_mm.flush()
+    if bev_mm is not None:
+        bev_mm.flush()
+    if cam_mm is not None:
+        cam_mm.flush()
+
+    report = _write_metadata(
+        out_dir, lidar_ts[lidar_keep],
+        cam_ts_arr[cam_keep] if len(cam_ts_arr) else None,
+        radar_rows, tracklet_xml,
+    )
+    report["streaming"] = True
+    return report

@@ -280,6 +280,15 @@ def parse_pointcloud2(
     return out
 
 
+def pointcloud2_size(raw: bytes) -> int:
+    """Number of points in a PointCloud2 payload without unpacking it
+    (header-only walk) — the streaming extractor's pass-1 scan uses this
+    to size its output memmaps."""
+    pos = _skip_std_header(raw)
+    height, width = struct.unpack_from("<II", raw, pos)
+    return int(height) * int(width)
+
+
 def parse_image(raw: bytes):
     """sensor_msgs/Image -> (H, W[, C]) uint8 array + encoding."""
     pos = _skip_std_header(raw)

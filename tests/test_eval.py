@@ -186,3 +186,62 @@ def test_score_multi_poses_matching_and_false_positives():
     found[:, 1] = False
     s2 = score_multi_poses(poses, found, gt_c, gt_y, gt_s)
     assert s2["box_recall"] == 0.5
+
+
+def test_orbit_physical_round_trip():
+    from tpufusion.eval.scoring import orbit_to_physical, physical_to_orbit
+
+    rng = np.random.default_rng(0)
+    poses = rng.normal(size=(16, 7))
+    back = physical_to_orbit(orbit_to_physical(poses))
+    np.testing.assert_allclose(back, poses, atol=1e-12)
+    # the all-zero no-detection sentinel survives both directions
+    z = np.zeros((2, 7))
+    assert np.all(orbit_to_physical(z) == 0) and np.all(
+        physical_to_orbit(z) == 0
+    )
+
+
+def test_orbit_scoring_removes_yaw_position_contamination():
+    """A prediction whose PHYSICAL center is exact but whose yaw is 0.1 rad
+    off must score ~0 xy error under pose_frame="orbit"; interpreting the
+    same orbit tuples as physical manufactures ~range*yaw_err of fake
+    translation error (the decode pipeline emits orbit tuples — see
+    eval/scoring module docstring)."""
+    from tpufusion.eval.scoring import physical_to_orbit, score_poses
+
+    phys_gt = np.array([[20.0, 0.0, -0.5, 0.4, 4.2, 1.6, 1.5]])
+    phys_pred = phys_gt.copy()
+    phys_pred[0, 3] = 0.5  # pure yaw error
+    orb_gt, orb_pred = physical_to_orbit(phys_gt), physical_to_orbit(phys_pred)
+
+    s = score_poses(orb_pred, orb_gt, pose_frame="orbit")
+    assert s["mean_xy_err"] < 1e-9
+    assert abs(s["mean_yaw_err"] - 0.1) < 1e-9
+    assert s["mean_iou"] > 0.5  # boxes really overlap that much
+
+    naive = score_poses(orb_pred, orb_gt)  # orbit tuples scored as-is
+    assert naive["mean_xy_err"] > 1.5  # ~ 20 m * 0.1 rad
+
+
+def test_score_multi_poses_orbit_frame():
+    from tpufusion.eval.scoring import physical_to_orbit, score_multi_poses
+
+    # one frame, one vehicle at physical (18, 6) yaw 0.6; the decoded box
+    # is physically 0.3 m off — in orbit coordinates both tuples sit far
+    # from their physical locations, so matching must happen post-rotation
+    yaw = 0.6
+    phys = np.array([[[18.0, 6.0, -0.6, yaw, 4.2, 1.6, 1.5]]])
+    pred_phys = phys.copy()
+    pred_phys[0, 0, 0] += 0.3
+    pred_orb = physical_to_orbit(pred_phys)
+    c, s_ = np.cos(-yaw), np.sin(-yaw)
+    gt_c_orb = np.array([[[c * 18.0 - s_ * 6.0, s_ * 18.0 + c * 6.0, -0.6]]])
+
+    s = score_multi_poses(
+        pred_orb, np.ones((1, 1), bool), gt_c_orb,
+        np.array([[yaw]]), phys[..., 4:7], pose_frame="orbit",
+    )
+    assert s["box_recall"] == 1.0
+    assert abs(s["box_xy_err"] - 0.3) < 1e-6
+    assert s["box_mean_iou"] > 0.5

@@ -278,7 +278,7 @@ def config4_full_eval() -> dict:
             csv_path, ts, {"l": 4.2, "w": 1.6, "h": 1.5},
             os.path.join(d, "sub.xml"),
         )
-    scores = score_poses(poses, truth)
+    scores = score_poses(poses, truth, pose_frame="orbit")
     # submission semantics: the challenge pipeline fed the obstacle's
     # METADATA l/w/h into the tracklets (reference
     # generate_tracklet_predictions.py reads them from the metadata csv;
@@ -287,7 +287,7 @@ def config4_full_eval() -> dict:
     found = ~np.all(poses[:, :3] == 0.0, axis=1)
     sub = poses.copy()
     sub[found, 4:7] = [4.2, 1.6, 1.5]
-    sub_scores = score_poses(sub, truth)
+    sub_scores = score_poses(sub, truth, pose_frame="orbit")
     dt = time.perf_counter() - t0
     return {
         "config": 4,
@@ -434,6 +434,7 @@ def config5_waymo_scale() -> dict:
     box_scores = score_multi_poses(
         np.asarray(p), np.asarray(fd), gt_c,
         np.asarray(seq_gt["yaw"]), np.asarray(seq_gt["size"]),
+        pose_frame="orbit",
     )
 
     n_dev = len(jax.devices())

@@ -200,7 +200,10 @@ def _cmd_score(args):
                 )
         return np.asarray(rows)
 
-    print(json.dumps(score_poses(read_poses(args.predictions), read_poses(args.truth))))
+    print(json.dumps(score_poses(
+        read_poses(args.predictions), read_poses(args.truth),
+        pose_frame=args.pose_frame,
+    )))
 
 
 def _cmd_extract(args):
@@ -411,6 +414,12 @@ def main(argv=None):
                     help="obstacle size fallback when the CSV lacks l/w/h")
     sc.add_argument("--w", type=float, default=0.0)
     sc.add_argument("--h", type=float, default=0.0)
+    sc.add_argument("--pose_frame", choices=("orbit", "physical"),
+                    default="orbit",
+                    help="coordinate convention of BOTH CSVs: the predict "
+                         "pipeline and the GT interp CSVs are orbit-origin "
+                         "(center pre-rotation by rz); metrics are always "
+                         "physical-frame (see eval/scoring docstring)")
     sc.set_defaults(fn=_cmd_score)
 
     ex = sub.add_parser("extract", help=".bag or points NPZ -> dataset dir")

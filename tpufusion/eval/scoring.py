@@ -3,11 +3,49 @@
 The reference relied on the external challenge scorer; here scoring is
 built in: per-frame translation / yaw errors plus yaw-aware 3D box IoU
 (rotated-rectangle polygon intersection in BEV x vertical overlap).
+
+Pose frames. The decode pipeline (and the synthetic GT dicts) carry
+centers in the reference's ORBIT-ORIGIN convention: the box's physical
+center is Rz(rz) @ (tx, ty, tz) (see the corner codec,
+modules/lidar/train/boxes like box_corners_3d — the whole corner set,
+position included, is rotated by rz). Boxes physically overlap in the
+PHYSICAL frame, so scoring converts both prediction and truth with
+`orbit_to_physical` when told the inputs are orbit-convention
+(pose_frame="orbit"). Scoring orbit tuples as-is is only consistent
+when pred and truth rz agree exactly: the mismatch displaces the
+predicted box by ~ range * yaw_err, turning pure yaw error into a
+distance-scaled translation error (measured: 21 m mean "xy error" on
+max_yaw=0.45 scenes whose back-projected centers were metrically fine).
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def orbit_to_physical(poses: np.ndarray) -> np.ndarray:
+    """(..., 7) orbit-convention poses -> physical-frame poses.
+
+    physical center = Rz(rz) @ (tx, ty, tz); rz / l / w / h unchanged.
+    The all-zero no-detection sentinel maps to itself (Rz of the origin
+    is the origin), so `found` masks derived from zero-checks survive.
+    """
+    p = np.asarray(poses, np.float64)
+    out = p.copy()
+    c, s = np.cos(p[..., 3]), np.sin(p[..., 3])
+    out[..., 0] = c * p[..., 0] - s * p[..., 1]
+    out[..., 1] = s * p[..., 0] + c * p[..., 1]
+    return out
+
+
+def physical_to_orbit(poses: np.ndarray) -> np.ndarray:
+    """Inverse of `orbit_to_physical` (rotate the center by -rz)."""
+    p = np.asarray(poses, np.float64)
+    out = p.copy()
+    c, s = np.cos(-p[..., 3]), np.sin(-p[..., 3])
+    out[..., 0] = c * p[..., 0] - s * p[..., 1]
+    out[..., 1] = s * p[..., 0] + c * p[..., 1]
+    return out
 
 
 def _rect_corners_bev(cx, cy, l, w, yaw):
@@ -90,10 +128,20 @@ def pose_errors(pred, truth) -> dict[str, float]:
 
 
 def score_poses(
-    preds: np.ndarray, truths: np.ndarray, iou_thresholds=(0.25, 0.5)
+    preds: np.ndarray, truths: np.ndarray, iou_thresholds=(0.25, 0.5),
+    pose_frame: str = "physical",
 ) -> dict[str, float]:
     """Batched scoring: preds/truths (F, 7). Frames with all-zero preds are
-    misses (the decode's no-obstacle sentinel)."""
+    misses (the decode's no-obstacle sentinel).
+
+    pose_frame="orbit" declares the tuples orbit-convention (what the
+    decode pipeline and the synthetic GT emit); both sides are converted
+    to the physical frame before errors/IoU (see module docstring)."""
+    if pose_frame == "orbit":
+        preds = orbit_to_physical(preds)
+        truths = orbit_to_physical(truths)
+    elif pose_frame != "physical":
+        raise ValueError(f"unknown pose_frame {pose_frame!r}")
     preds = np.asarray(preds, np.float64)
     truths = np.asarray(truths, np.float64)
     found = ~np.all(preds[:, :3] == 0.0, axis=1)
@@ -126,6 +174,7 @@ def score_multi_poses(
     gt_yaws: np.ndarray,  # (F, V)
     gt_sizes: np.ndarray,  # (F, V, 3)
     match_dist: float = 4.0,
+    pose_frame: str = "physical",
 ) -> dict[str, float]:
     """Per-box accuracy of the multi-obstacle decode (config 5's top-K
     path), which `score_poses` (one box per frame) cannot measure.
@@ -133,9 +182,28 @@ def score_multi_poses(
     Greedy per-frame matching: each GT vehicle takes the nearest unused
     decoded box within match_dist (xy). Reports recall over all
     (frame, vehicle) pairs, mean 3D IoU / xy error over the matches, and
-    decoded boxes that matched nothing (false positives)."""
+    decoded boxes that matched nothing (false positives).
+
+    pose_frame="orbit": poses and (gt_centers, gt_yaws) are
+    orbit-convention; both are rotated to the physical frame first so
+    matching distances and IoU are geometric (see module docstring)."""
     poses = np.asarray(poses, np.float64)
     found = np.asarray(found, bool)
+    gt_centers = np.asarray(gt_centers, np.float64)
+    gt_yaws = np.asarray(gt_yaws, np.float64)
+    if pose_frame == "orbit":
+        poses = orbit_to_physical(poses)
+        c, s = np.cos(gt_yaws), np.sin(gt_yaws)
+        gt_centers = np.stack(
+            [
+                c * gt_centers[..., 0] - s * gt_centers[..., 1],
+                s * gt_centers[..., 0] + c * gt_centers[..., 1],
+                gt_centers[..., 2],
+            ],
+            axis=-1,
+        )
+    elif pose_frame != "physical":
+        raise ValueError(f"unknown pose_frame {pose_frame!r}")
     f, v = gt_centers.shape[:2]
     matched, false_pos = 0, 0
     ious, xy_errs = [], []

@@ -71,7 +71,7 @@ def run_condition(graphdef, state, dcfg, head, n_batches=4, batch=32,
         ))
     preds = np.concatenate(preds_all)
     truth = np.concatenate(truth_all)
-    sc = score_poses(preds, truth)
+    sc = score_poses(preds, truth, pose_frame="orbit")
     return sc, preds, {"truth": truth}
 
 
@@ -131,7 +131,8 @@ def main(argv=None):
     qs = np.quantile(dist, [0, 0.25, 0.5, 0.75, 1.0])
     for lo, hi in zip(qs[:-1], qs[1:]):
         sel = (dist >= lo) & (dist <= hi)
-        sc = score_poses(base_preds[sel], base_truth[sel])
+        sc = score_poses(base_preds[sel], base_truth[sel],
+                         pose_frame="orbit")
         key = f"range {lo:.0f}-{hi:.0f} m"
         rows[key] = {
             "det": sc["detection_rate"],

@@ -61,6 +61,15 @@ def main(argv=None):
     scenes = meta.get("scenes", "beam")
     max_yaw = meta.get("max_yaw", 0.05)
 
+    # the yaw-channel codec is a property of the WEIGHTS, not of the
+    # operating point: evaluate (and rewrite) with the frame the asset
+    # was trained with, or a global-codec asset gets decoded through the
+    # local rotation (config default) and its yaw turns to noise
+    yaw_frame = meta.get("decode", {}).get("direct_yaw_frame", "global")
+    base_decode = dataclasses.replace(
+        DEFAULT.decode, direct_yaw_frame=yaw_frame
+    )
+
     probs = (0.5, 0.7, 0.8, 0.9)
     areas = (8.0, 12.0, 20.0, 40.0)
     modes = (
@@ -78,7 +87,7 @@ def main(argv=None):
     for mp in probs:
         for ar in areas:
             dcfg = dataclasses.replace(
-                DEFAULT.decode, min_prob=mp, min_bbox_area=ar
+                base_decode, min_prob=mp, min_bbox_area=ar
             )
             for mode in modes:
                 ev = evaluate(
@@ -99,7 +108,7 @@ def main(argv=None):
     print("\nbest on protocol:", json.dumps(best))
 
     dcfg = dataclasses.replace(
-        DEFAULT.decode, min_prob=best["min_prob"],
+        base_decode, min_prob=best["min_prob"],
         min_bbox_area=best["min_bbox_area"],
     )
     confirm = evaluate(
@@ -114,6 +123,8 @@ def main(argv=None):
                           "min_bbox_area": best["min_bbox_area"]}
         if best["center"]:
             meta["decode"]["direct_center"] = best["center"]
+        if head == "direct":
+            meta["decode"]["direct_yaw_frame"] = yaw_frame
         step = meta.get("best", {}).get("step")
         meta["best"] = {
             k: best[k]

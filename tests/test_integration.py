@@ -149,3 +149,12 @@ def test_cli_submit_score_diff(tmp_path):
         cli_main(["score", str(pred_csv), str(truth_csv)])
     s = json.loads(buf.getvalue().splitlines()[-1])
     assert s["detection_rate"] == 1.0 and s["mean_iou"] > 0.99
+
+    # --pose_frame physical skips the orbit->physical rotation; with pred
+    # == truth both frames are exact, but the flag must parse and route
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main(["score", str(pred_csv), str(truth_csv),
+                  "--pose_frame", "physical"])
+    s2 = json.loads(buf.getvalue().splitlines()[-1])
+    assert s2["mean_iou"] > 0.99 and s2["mean_xy_err"] < 1e-9

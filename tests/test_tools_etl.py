@@ -290,3 +290,19 @@ def test_detector_envelope_condition_runs():
     assert preds.shape == (2, 7)
     assert extra["truth"].shape == (2, 7)
     assert set(sc) >= {"detection_rate", "mean_iou", "recall@iou0.25"}
+
+
+def test_detector_envelope_base_condition_from_meta():
+    """The envelope's trained-distribution anchor derives from the asset
+    json; missing fields fall back to the flagship's historical base."""
+    from tpufusion.tools.detector_envelope import base_condition_from_meta
+
+    assert base_condition_from_meta({}) == {
+        "n_points": 32768, "max_yaw": 0.05,
+    }
+    kw = base_condition_from_meta(
+        {"scenes": "beam-ellipse", "max_yaw": 0.45, "n_points": 16384}
+    )
+    assert kw == {
+        "n_points": 16384, "max_yaw": 0.45, "vehicle_surface": "ellipse",
+    }

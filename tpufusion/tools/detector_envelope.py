@@ -75,6 +75,20 @@ def run_condition(graphdef, state, dcfg, head, n_batches=4, batch=32,
     return sc, preds, {"truth": truth}
 
 
+def base_condition_from_meta(meta: dict) -> dict:
+    """Scene kwargs of an asset's training distribution, from its json
+    metadata (written by tools/train_synthetic_detector). Missing fields
+    fall back to the flagship's historical base (32k points, max_yaw
+    0.05, circle surface) so pre-meta assets keep the old anchor."""
+    base_kw = dict(
+        n_points=int(meta.get("n_points", 32768)),
+        max_yaw=float(meta.get("max_yaw", 0.05)),
+    )
+    if str(meta.get("scenes", "beam")).endswith("ellipse"):
+        base_kw["vehicle_surface"] = "ellipse"
+    return base_kw
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
@@ -85,27 +99,46 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     graphdef, state, dcfg, head = _load_asset(args.asset)
-    base_kw = dict(n_points=32768, max_yaw=0.05)
+
+    # the "trained distribution" anchor comes from the asset's own
+    # metadata (scenes / max_yaw / n_points recorded at training time by
+    # tools/train_synthetic_detector), so the relative conditions below
+    # measure degradation away from THIS asset's training distribution —
+    # for the flagship the meta matches the historical hardcoded base
+    import os
+
+    asset_path = args.asset or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "synthetic_detector.npz",
+    )
+    meta = {}
+    try:
+        with open(asset_path + ".json") as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        pass
+    base_kw = base_condition_from_meta(meta)
 
     conditions = [
         ("trained distribution", dict(**base_kw)),
         ("clutter x2", dict(**base_kw, n_clutter=48)),
         ("clutter x4", dict(**base_kw, n_clutter=96)),
         ("dropout 0.3", dict(**base_kw, dropout=0.3)),
-        ("sparse sweep (16k pts)", dict(n_points=16384, max_yaw=0.05)),
-        ("dense sweep (65k pts)", dict(n_points=65536, max_yaw=0.05)),
+        ("sparse sweep (16k pts)", dict(**{**base_kw, "n_points": 16384})),
+        ("dense sweep (65k pts)", dict(**{**base_kw, "n_points": 65536})),
         ("varied sizes", dict(**base_kw, vary_size=True)),
-        ("yaw +-0.2", dict(n_points=32768, max_yaw=0.2)),
-        ("yaw +-0.4", dict(n_points=32768, max_yaw=0.4)),
+        ("yaw +-0.2", dict(**{**base_kw, "max_yaw": 0.2})),
+        ("yaw +-0.4", dict(**{**base_kw, "max_yaw": 0.4})),
         # oriented-ellipse vehicle surface: the physical orientation the
         # reference's orbit-origin convention implies, where yaw IS
         # observable from geometry (the circle rows above measure the
         # symmetric-surface regime where no detector can recover yaw)
-        ("ellipse yaw 0", dict(**base_kw, vehicle_surface="ellipse")),
-        ("ellipse yaw +-0.2", dict(n_points=32768, max_yaw=0.2,
-                                   vehicle_surface="ellipse")),
-        ("ellipse yaw +-0.4", dict(n_points=32768, max_yaw=0.4,
-                                   vehicle_surface="ellipse")),
+        ("ellipse yaw 0", dict(**{**base_kw, "max_yaw": 0.0,
+                                  "vehicle_surface": "ellipse"})),
+        ("ellipse yaw +-0.2", dict(**{**base_kw, "max_yaw": 0.2,
+                                      "vehicle_surface": "ellipse"})),
+        ("ellipse yaw +-0.4", dict(**{**base_kw, "max_yaw": 0.4,
+                                      "vehicle_surface": "ellipse"})),
     ]
     rows = {}
     base_preds = base_truth = None

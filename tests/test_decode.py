@@ -470,3 +470,133 @@ def test_direct_yaw_frame_local_semantics():
     want = np.sin(-ang)
     assert abs(sa.mean() - want) < 0.05, (sa.mean(), want)
     assert abs(sb.mean() - want) < 0.05, (sb.mean(), want)
+
+
+def test_direct_fit_center_mode_ellipse():
+    """center="fit" on oriented-ellipse beam scans with oracle labels,
+    plus a biased-yaw variant: rotating the label's sin/cos field by
+    +0.35 rad simulates the trained head's dominant error (yaw noise ~
+    0.4-0.5 rad, NOTES.md round 3). The boundary fit must (a) not
+    degrade the oracle decode, and (b) recover yaw from the surface
+    points despite the biased head — the property that lifted the
+    config-4 wide-yaw protocol from IoU 0.42 to 0.66."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_beam_scan_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.eval.scoring import orbit_to_physical
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt, valid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(13), 16, 32768, max_yaw=0.45,
+        vehicle_surface="ellipse",
+    )
+    imgs = range_view_project_batch(pts, spec, valid)
+    labels = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec
+    )
+    dcfg = dataclasses.replace(
+        cfg.decode, min_bbox_area=20.0,
+        fit_boundary="ellipse", fit_surface_scale=0.9,
+    )
+    truth = np.concatenate(
+        [np.asarray(gt["center"]), np.asarray(gt["yaw"])[:, None],
+         np.asarray(gt["size"])], axis=1,
+    )
+    tp = orbit_to_physical(truth)
+
+    def run(lab, mode):
+        out = decode_batch_direct(lab, imgs, spec, dcfg, 1, center=mode)
+        po = np.asarray(out["poses"])[:, 0]
+        fd = np.asarray(out["found"])[:, 0]
+        pp = orbit_to_physical(po)
+        xy = np.linalg.norm(pp[:, :2] - tp[:, :2], axis=1)
+        dy = np.abs((pp[:, 3] - tp[:, 3]) % np.pi)
+        return fd, xy, np.minimum(dy, np.pi - dy)
+
+    # (a) oracle labels: fit matches-or-beats consensus, yaw stays tight
+    fd_f, xy_f, yaw_f = run(labels, "fit")
+    fd_c, xy_c, yaw_c = run(labels, "consensus")
+    np.testing.assert_array_equal(fd_f, fd_c)
+    assert fd_f.sum() >= 6, fd_f
+    assert xy_f[fd_f].mean() <= xy_c[fd_c].mean() + 0.05, (xy_f, xy_c)
+    assert yaw_f[fd_f].mean() < 0.2, yaw_f
+
+    # (b) bias the yaw channels by +0.35 rad (pure head-yaw error)
+    delta = 0.35
+    s, c = np.asarray(labels[..., 8]), np.asarray(labels[..., 9])
+    lab_b = np.asarray(labels).copy()
+    lab_b[..., 8] = s * np.cos(delta) + c * np.sin(delta)
+    lab_b[..., 9] = c * np.cos(delta) - s * np.sin(delta)
+    import jax.numpy as jnp
+
+    lab_b = jnp.asarray(lab_b)
+    fd_fb, xy_fb, yaw_fb = run(lab_b, "fit")
+    fd_cb, xy_cb, yaw_cb = run(lab_b, "consensus")
+    assert yaw_cb[fd_cb].mean() > 0.25, yaw_cb  # consensus keeps the bias
+    # fit recovers from the points on most frames (shallow arcs fall
+    # back to the biased head yaw — 8-frame sample, so assert the
+    # margin, not a tight absolute: the 128-frame protocol measures 0.16)
+    assert yaw_fb[fd_fb].mean() < yaw_cb[fd_cb].mean() - 0.10, (
+        yaw_fb, yaw_cb)
+    assert np.median(yaw_fb[fd_fb]) < 0.15, yaw_fb
+    assert xy_fb[fd_fb].mean() < xy_cb[fd_cb].mean() + 0.05, (xy_fb, xy_cb)
+
+
+def test_direct_fit_center_mode_circle():
+    """center="fit" with the circle boundary (rotationally symmetric
+    obstacles, the flagship's scene family): yaw must pass through the
+    head estimate untouched (a circle carries no orientation signal) and
+    the fitted center must match-or-beat consensus on oracle labels."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_beam_scan_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.range_view import range_view_project_batch
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt, valid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(17), 8, 16384
+    )
+    imgs = range_view_project_batch(pts, spec, valid)
+    labels = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec
+    )
+    dcfg = dataclasses.replace(
+        cfg.decode, min_bbox_area=20.0,
+        fit_boundary="circle", fit_surface_scale=0.8,
+    )
+    out_f = decode_batch_direct(labels, imgs, spec, dcfg, 1, center="fit")
+    out_c = decode_batch_direct(
+        labels, imgs, spec, dcfg, 1, center="consensus"
+    )
+    out_h = decode_batch_direct(labels, imgs, spec, dcfg, 1, center="head")
+    fd = np.asarray(out_f["found"])[:, 0]
+    assert fd.sum() >= 6
+    # yaw passthrough: identical to the head's yaw on every found frame
+    np.testing.assert_allclose(
+        np.asarray(out_f["poses"])[fd, 0, 3],
+        np.asarray(out_h["poses"])[fd, 0, 3], atol=1e-5,
+    )
+    c = np.asarray(gt["center"])
+    xy_f = np.linalg.norm(
+        np.asarray(out_f["poses"])[:, 0, :2] - c[:, :2], axis=1
+    )
+    xy_c = np.linalg.norm(
+        np.asarray(out_c["poses"])[:, 0, :2] - c[:, :2], axis=1
+    )
+    assert xy_f[fd].mean() <= xy_c[fd].mean() + 0.05, (xy_f, xy_c)
+    assert xy_f[fd].mean() < 0.7, xy_f

@@ -243,8 +243,28 @@ class DecodeConfig:
     #                 IoU vs the single bbox-center pixel
     #   head        — probability-weighted average of the per-pixel decoded
     #                 centers (exact inverse of encode_direct_label)
+    #   fit         — consensus seed + model-based surface fit: Gauss-
+    #                 Newton fit of the box's boundary curve (known size
+    #                 from the head) to the cluster's raw 3D surface
+    #                 points, jointly refining center AND yaw (ellipse
+    #                 boundary; yaw is where the conv head is weakest —
+    #                 see decode._fit_pose_to_surface). The largest
+    #                 measured accuracy win of round 3: IoU 0.50 -> 0.66
+    #                 (flagship) / 0.42 -> 0.66 (wide-yaw) on the
+    #                 config-4 protocol.
     # Detector assets ship the mode they validated best with.
     direct_center: str = "backproject"
+    # "fit" mode's boundary model: "ellipse" fits an oriented ellipse
+    # with semi-axes fit_surface_scale*(l/2, w/2) — orientation becomes
+    # observable from arc shape; "circle" fits a circle of radius
+    # fit_surface_scale*0.5*sqrt(l^2+w^2) (rotationally symmetric
+    # obstacles — yaw stays the head's estimate). The scale is the
+    # inset of the visible surface relative to the box hull (real
+    # vehicles return off body panels inside the bbox; the synthetic
+    # rounded-box scenes use 0.9 ellipse / 0.8 circle — asset jsons pin
+    # the value they were validated at).
+    fit_boundary: str = "ellipse"
+    fit_surface_scale: float = 0.9
     # Frame of the direct head's sin/cos yaw channels:
     #   local  — sin/cos(yaw - theta_pixel), the pixel's viewing-ray frame.
     #            A conv net is translation-equivariant along azimuth and the

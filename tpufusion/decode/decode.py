@@ -669,6 +669,158 @@ def _silhouette_center(
     return jnp.where(n >= 5, p_sil, seed)
 
 
+# "fit" center-mode constants (see _fit_pose_to_surface): yaw-candidate
+# grid over [0, pi), Gauss-Newton iterations per candidate, seed-prior
+# strength (fraction of the point count), acceptance radius around the
+# seed, and the minimum gated point count for a trustworthy fit.
+_FIT_PHI_CANDIDATES = 36
+_FIT_GN_ITERS = 4
+_FIT_PRIOR = 0.08
+_FIT_ACCEPT_DIST = 2.0
+_FIT_MIN_POINTS = 5
+
+
+def _fit_pose_to_surface(
+    image: jax.Array,  # (H, W, >=2)
+    cluster: jax.Array,  # (H, W) bool — pixels of one cluster
+    spec: RangeViewSpec,
+    cfg: DecodeConfig,
+    yaw: jax.Array,  # scalar — head yaw (physical heading), phi fallback
+    lwh: jax.Array,  # (3,) — head box size
+    seed: jax.Array,  # (3,) — robust center seed (consensus, physical)
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Model-based pose refinement: fit the box's known-size boundary
+    curve to the cluster's raw 3D surface points, returning
+    (center_phys (3,), phi, ok_fit).
+
+    The conv head resolves yaw to only ~0.4-0.5 rad (the visible arc's
+    orientation must be read off a 1-2 px-thick crescent), and every
+    push-style center estimator inherits that error. The surface points
+    themselves pin both: an oriented ellipse with KNOWN semi-axes
+    fit_surface_scale*(l/2, w/2) has 3 free parameters (cx, cy, phi);
+    ~40-100 exact surface returns over-determine them. Solved as a grid
+    over phi in [0, pi) (the boundary is pi-symmetric; the head yaw
+    resolves which end is the nose) x damped Gauss-Newton in (cx, cy)
+    per candidate, all fixed-shape and batch-vmappable.
+
+    Two measured failure modes are guarded (NOTES.md round 3):
+      * shallow arcs constrain the center tangentially but not radially
+        (J^T J near-singular along the viewing ray) — a Tikhonov prior
+        of strength _FIT_PRIOR * n_points anchors the flat direction to
+        the seed;
+      * the fit must start from the CONSENSUS seed: seeding from the raw
+        surface mean let rare clutter-latched clusters drag the
+        regularized fit meters off (consensus cross-checks the surface
+        mean against back-projection first).
+    A fit farther than _FIT_ACCEPT_DIST from its seed, or with fewer
+    than _FIT_MIN_POINTS gated points, reports ok_fit=False (callers
+    keep the seed + head yaw). cfg.fit_boundary="circle" fits a circle
+    of radius fit_surface_scale*0.5*sqrt(l^2+w^2) instead — center only,
+    phi stays the head's (rotationally symmetric obstacles carry no
+    orientation signal).
+    """
+    from tpufusion.geometry.encoding import pixel_points
+
+    l_, w_ = lwh[0], lwh[1]
+    if cfg.fit_boundary == "circle":
+        a = b = jnp.maximum(
+            cfg.fit_surface_scale * 0.5 * jnp.sqrt(l_ * l_ + w_ * w_),
+            1e-2,
+        )
+        # phi is irrelevant for a circle; one candidate (the head yaw)
+        phis = (yaw % jnp.pi)[None]
+    elif cfg.fit_boundary == "ellipse":
+        a = jnp.maximum(cfg.fit_surface_scale * l_ / 2.0, 1e-2)
+        b = jnp.maximum(cfg.fit_surface_scale * w_ / 2.0, 1e-2)
+        grid = (
+            jnp.arange(_FIT_PHI_CANDIDATES, dtype=jnp.float32)
+            / _FIT_PHI_CANDIDATES
+            * jnp.pi
+        )
+        phis = jnp.concatenate([grid, (yaw % jnp.pi)[None]])
+    else:
+        raise ValueError(f"unknown fit_boundary {cfg.fit_boundary!r}")
+
+    # gated surface points: cluster pixels with real returns, within a
+    # vehicle depth of the nearest return (the heat cluster spans the
+    # footprint RECT, so some rays hit background behind the vehicle)
+    # and within a box diagonal (+margin) of the seed
+    valid = (image[..., 0] > 0) & (image[..., 1] > spec.min_height)
+    m = cluster & valid
+    p = jax.lax.stop_gradient(pixel_points(image, spec))
+    d = image[..., 0]
+    dmin = jnp.min(jnp.where(m, d, jnp.inf))
+    gate = 0.5 * jnp.sqrt(l_ * l_ + w_ * w_) + 3.0
+    near = jnp.sum((p - seed) ** 2, axis=-1) <= gate * gate
+    msurf = m & (d <= dmin + 4.0) & near
+    px = p[..., 0].reshape(-1)
+    py = p[..., 1].reshape(-1)
+    wts = msurf.reshape(-1).astype(jnp.float32)
+    nw = jnp.maximum(jnp.sum(wts), 1e-6)
+    lam = _FIT_PRIOR * nw
+    seed_xy = seed[:2]
+
+    def residual(m_xy, phi):
+        c, s = jnp.cos(phi), jnp.sin(phi)
+        dx = px - m_xy[0]
+        dy = py - m_xy[1]
+        vx = (c * dx + s * dy) / a
+        vy = (-s * dx + c * dy) / b
+        return vx * vx + vy * vy - 1.0, (vx, vy, c, s)
+
+    def gn(phi):
+        def body(m_xy, _):
+            r, (vx, vy, c, s) = residual(m_xy, phi)
+            # dq/dm = -R(phi) @ (2vx/a, 2vy/b)
+            gx = 2.0 * vx / a
+            gy = 2.0 * vy / b
+            jx = -(c * gx - s * gy)
+            jy = -(s * gx + c * gy)
+            jxx = jnp.sum(wts * jx * jx) + lam
+            jxy = jnp.sum(wts * jx * jy)
+            jyy = jnp.sum(wts * jy * jy) + lam
+            bx = jnp.sum(wts * jx * r) + lam * (m_xy[0] - seed_xy[0])
+            by = jnp.sum(wts * jy * r) + lam * (m_xy[1] - seed_xy[1])
+            det = jxx * jyy - jxy * jxy
+            m_xy = m_xy - jnp.stack(
+                [(jyy * bx - jxy * by) / det, (jxx * by - jxy * bx) / det]
+            )
+            return m_xy, None
+
+        m_xy, _ = jax.lax.scan(body, seed_xy, None, length=_FIT_GN_ITERS)
+        r, _ = residual(m_xy, phi)
+        return m_xy, jnp.sum(wts * r * r) / nw
+
+    ms, ress = jax.vmap(gn)(phis)
+    i = jnp.argmin(ress)
+    # Orientation identifiability guard: the head-yaw candidate is the
+    # LAST grid entry; adopt the grid winner only when its residual
+    # beats the head candidate's by a clear margin. A shallow arc's
+    # residual is nearly flat in phi, so its argmin is noise (measured:
+    # wrong-lobe picks up to 0.66 rad off); when flat, keep the head yaw
+    # but still take ITS fitted center (the center refinement does not
+    # need phi identifiability). With an unbiased head the two residuals
+    # tie and the head yaw is preserved exactly.
+    decisive = ress[i] < 0.9 * ress[-1]
+    ctr = jnp.where(decisive, ms[i], ms[-1])
+    phi = jnp.where(decisive, phis[i], phis[-1])
+    # resolve the ellipse's pi-symmetry with the head yaw
+    cand = jnp.stack([phi, phi + jnp.pi, phi - jnp.pi])
+    pick = jnp.argmin(
+        jnp.abs(((cand - yaw) + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+    )
+    phi = cand[pick]
+    ok_fit = (jnp.sum(wts) >= _FIT_MIN_POINTS) & (
+        jnp.sum((ctr - seed_xy) ** 2) <= _FIT_ACCEPT_DIST**2
+    )
+    center = jnp.concatenate([ctr, seed[2:]])
+    return (
+        jnp.where(ok_fit, center, seed),
+        jnp.where(ok_fit, phi, yaw),
+        ok_fit,
+    )
+
+
 def decode_frame_direct(
     y_pred: jax.Array,  # (H, W, 2+8)
     image: jax.Array,  # (H, W, >=2)
@@ -705,7 +857,12 @@ def decode_frame_direct(
     onto clutter; geometric never blows up (tuner sweep: surface IoU
     0.397/xy 1.58 vs geometric 0.345/0.83 — consensus keeps both ends).
     "head" uses the head's averaged center too — the exact inverse of
-    encode_direct_label (round-trip tested).
+    encode_direct_label (round-trip tested). "fit" starts from the
+    consensus estimate and refines center AND yaw by fitting the box's
+    known-size boundary curve to the cluster's raw surface points
+    (_fit_pose_to_surface) — the round-3 accuracy winner on both shipped
+    assets (config-4 protocol: flagship IoU 0.50 -> 0.66 / xy 0.71 ->
+    0.38 m; wide-yaw IoU 0.42 -> 0.66 / yaw err 0.48 -> 0.16 rad).
 
     k=1 mirrors decode_frame's largest-cluster semantics but still returns
     (1, 7)/(1,) shaped outputs; squeeze at the call site if needed."""
@@ -713,7 +870,7 @@ def decode_frame_direct(
         center = cfg.direct_center
     if center not in (
         "backproject", "geometric", "surface", "head", "silhouette",
-        "consensus",
+        "consensus", "fit",
     ):
         raise ValueError(f"unknown direct_center {center!r}")
     prob = y_pred[..., 1]
@@ -721,7 +878,7 @@ def decode_frame_direct(
     idx, found, bboxes, centroids, areas = _topk_roots(
         mask, labels, min_x, max_x, min_y, max_y, cfg, k
     )
-    if center in ("geometric", "silhouette", "consensus"):
+    if center in ("geometric", "silhouette", "consensus", "fit"):
         # back-project to the raw SURFACE point; the radial push below
         # replaces the fixed range_offset entirely
         bp_cfg = dataclasses.replace(cfg, range_offset=0.0)
@@ -759,7 +916,7 @@ def decode_frame_direct(
 
             if center == "surface":
                 xyz, bp_ok = push(p_mean), nonempty
-            elif center == "consensus":
+            elif center in ("consensus", "fit"):
                 geo, _, bp_ok = back_project_2d_to_3d(
                     cpx, bbox, image[..., 0], image[..., 1], spec, bp_cfg
                 )
@@ -778,11 +935,15 @@ def decode_frame_direct(
                     y_pred, image, cluster, spec, cfg,
                     yaw, pose[4:7], xyz,
                 )
+            elif center == "fit":
+                xyz, yaw, _ = _fit_pose_to_surface(
+                    image, cluster, spec, cfg, yaw, pose[4:7], xyz
+                )
             c, s = jnp.cos(-yaw), jnp.sin(-yaw)
             ctr = jnp.stack(
                 [c * xyz[0] - s * xyz[1], s * xyz[0] + c * xyz[1], xyz[2]]
             )
-            pose = jnp.concatenate([ctr, pose[3:]])
+            pose = jnp.concatenate([ctr, yaw[None], pose[4:]])
             good = good & bp_ok
         return jnp.where(good, pose, 0.0), good
 

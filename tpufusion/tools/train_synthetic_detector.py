@@ -137,16 +137,24 @@ def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
                             + 2.0 * float(sc["mean_iou"]))}
 
 
-def deployment_decode(base, min_prob: float, min_bbox_area: float):
+def deployment_decode(base, min_prob: float, min_bbox_area: float,
+                      scenes: str = "beam"):
     """The asset's decode operating point. The reference's constants
     (min_prob 0.5, min_bbox_area 100, predict.py:28-31) were tuned to its
     real Didi bags, where the obstacle footprint is large; synthetic
     scenes place vehicles at 8-30 m where exact footprints can be ~36 px
     — below the reference's area gate. A detector asset therefore ships
     WITH the thresholds it was validated at (stored in the asset json and
-    applied by tpufusion.benchmarks when loading the asset)."""
+    applied by tpufusion.benchmarks when loading the asset). The "fit"
+    center mode's boundary model follows the scene family's vehicle
+    surface (DecodeConfig.fit_boundary): oriented ellipse inset 0.9 for
+    beam-ellipse, circle inset 0.8 otherwise (data/synthetic.py ray-cast
+    constants)."""
+    ellipse = scenes.endswith("ellipse")
     return dataclasses.replace(
-        base, min_prob=min_prob, min_bbox_area=min_bbox_area
+        base, min_prob=min_prob, min_bbox_area=min_bbox_area,
+        fit_boundary="ellipse" if ellipse else "circle",
+        fit_surface_scale=0.9 if ellipse else 0.8,
     )
 
 
@@ -259,7 +267,8 @@ def main(argv=None):
     )
     graphdef, _ = nnx.split(model)
     dcfg = deployment_decode(
-        cfg.decode, args.eval_min_prob, args.eval_min_bbox_area
+        cfg.decode, args.eval_min_prob, args.eval_min_bbox_area,
+        scenes=args.scenes,
     )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -286,8 +295,8 @@ def main(argv=None):
             # geometric push once l/w/yaw converge) — evaluate all and
             # ship the winning mode in the asset json
             modes = (
-                ("consensus", "silhouette", "surface", "geometric", "head",
-                 "backproject")
+                ("fit", "consensus", "silhouette", "surface", "geometric",
+                 "head", "backproject")
                 if args.head == "direct" else (None,)
             )
             prepared = prepare_eval_batches(
@@ -330,6 +339,12 @@ def _write_asset_json(args, best):
         # pin the yaw-channel frame the asset was trained with (the codec
         # default changed to "local" in round 3; older assets are global)
         decode["direct_yaw_frame"] = "local"
+        # pin the "fit" mode's boundary model to the scene family the
+        # asset was validated on (used when direct_center == "fit", and
+        # by anyone re-tuning the operating point later)
+        ellipse = args.scenes.endswith("ellipse")
+        decode["fit_boundary"] = "ellipse" if ellipse else "circle"
+        decode["fit_surface_scale"] = 0.9 if ellipse else 0.8
     with open(args.out + ".json", "w") as f:
         json.dump({"best": best, "steps": args.steps,
                    "scenes": args.scenes,

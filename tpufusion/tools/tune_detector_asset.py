@@ -66,14 +66,25 @@ def main(argv=None):
     # was trained with, or a global-codec asset gets decoded through the
     # local rotation (config default) and its yaw turns to noise
     yaw_frame = meta.get("decode", {}).get("direct_yaw_frame", "global")
+    # "fit" boundary model: from the asset json when pinned, else derived
+    # from the scene family (ellipse scenes -> ellipse inset 0.9, circle
+    # scenes -> circle inset 0.8; data/synthetic.py ray-cast constants)
+    ellipse = scenes.endswith("ellipse")
+    fit_boundary = meta.get("decode", {}).get(
+        "fit_boundary", "ellipse" if ellipse else "circle"
+    )
+    fit_scale = meta.get("decode", {}).get(
+        "fit_surface_scale", 0.9 if ellipse else 0.8
+    )
     base_decode = dataclasses.replace(
-        DEFAULT.decode, direct_yaw_frame=yaw_frame
+        DEFAULT.decode, direct_yaw_frame=yaw_frame,
+        fit_boundary=fit_boundary, fit_surface_scale=fit_scale,
     )
 
     probs = (0.5, 0.7, 0.8, 0.9)
     areas = (8.0, 12.0, 20.0, 40.0)
     modes = (
-        ("consensus", "silhouette", "surface", "head", "geometric",
+        ("fit", "consensus", "silhouette", "surface", "head", "geometric",
          "backproject")
         if head == "direct" else (None,)
     )
@@ -125,11 +136,14 @@ def main(argv=None):
             meta["decode"]["direct_center"] = best["center"]
         if head == "direct":
             meta["decode"]["direct_yaw_frame"] = yaw_frame
+            meta["decode"]["fit_boundary"] = fit_boundary
+            meta["decode"]["fit_surface_scale"] = fit_scale
         step = meta.get("best", {}).get("step")
         meta["best"] = {
             k: best[k]
             for k in ("det", "xy_err", "within2m", "mean_iou",
-                      "recall_iou25", "score")
+                      "recall_iou25", "yaw_err", "score")
+            if k in best
         }
         meta["best"]["center"] = best["center"]
         meta["best"]["step"] = step

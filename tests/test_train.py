@@ -552,3 +552,25 @@ def test_reg_channel_weights_rescale_gradient_share():
     with pytest.raises(ValueError, match="reg_channel_weights"):
         weighted_pose_loss(jnp.asarray(y_pred), jnp.asarray(y_true),
                            LossConfig(**base, reg_channel_weights=(1.0,) * 5))
+
+
+def test_detector_trainer_points_mix_smoke(tmp_path):
+    """--points_mix cycles sweep resolutions per step (distinct static
+    shapes -> one compiled variant each) and records the mix in the
+    asset json; the held-out eval stays at --n_points."""
+    from tpufusion.tools.train_synthetic_detector import main as train_main
+
+    out = str(tmp_path / "asset.npz")
+    train_main([
+        "--steps", "2", "--batch", "2", "--n_points", "1024",
+        "--points_mix", "512,1024", "--eval_every", "2",
+        "--eval_batches", "1", "--eval_min_prob", "0.5",
+        "--eval_min_bbox_area", "4",
+    ] + ["--out", out])
+    import json as _json
+    import os
+
+    assert os.path.exists(out)
+    meta = _json.load(open(out + ".json"))
+    assert meta["points_mix"] == "512,1024"
+    assert meta["n_points"] == 1024

@@ -219,6 +219,17 @@ def main(argv=None):
                     help="comma list of per-step clutter counts to cycle "
                          "through (beam scenes); e.g. 24,48,96 trains for "
                          "the envelope's heavy-clutter conditions")
+    ap.add_argument("--points_mix", default="",
+                    help="comma list of per-step sweep resolutions (points "
+                         "per revolution) to cycle through, e.g. "
+                         "16384,32768,65536 — trains one asset across "
+                         "sensor resolutions (the envelope's sparse-sweep "
+                         "failure is a per-resolution operating-point "
+                         "mismatch; a resolution-mixed asset flattens it). "
+                         "Empty = train at --n_points only. Each distinct "
+                         "count compiles its own train-step variant "
+                         "(static shapes), so keep the list short. Held-"
+                         "out eval stays at --n_points.")
     args = ap.parse_args(argv)
 
     cfg = DEFAULT
@@ -276,10 +287,15 @@ def main(argv=None):
     key = jax.random.PRNGKey(7)
     t0 = time.time()
     clutter_mix = [int(c) for c in args.clutter_mix.split(",")]
+    points_mix = (
+        [int(c) for c in args.points_mix.split(",")]
+        if args.points_mix else [args.n_points]
+    )
     for s in range(1, args.steps + 1):
         p, g, vmask = _synth(
             args.scenes, jax.random.PRNGKey(100_000 + s), args.batch,
-            args.n_points, args.max_yaw, vary_size=args.vary_size,
+            points_mix[s % len(points_mix)], args.max_yaw,
+            vary_size=args.vary_size,
             n_clutter=clutter_mix[s % len(clutter_mix)],
         )
         batch = {"points": p, "center": g["center"], "size": g["size"],
@@ -349,6 +365,8 @@ def _write_asset_json(args, best):
         json.dump({"best": best, "steps": args.steps,
                    "scenes": args.scenes,
                    "max_yaw": args.max_yaw,
+                   **({"points_mix": args.points_mix}
+                      if args.points_mix else {}),
                    "batch": args.batch, "n_points": args.n_points,
                    "w1_boost": args.w1_boost,
                    "weight_bb": args.weight_bb,

@@ -345,3 +345,45 @@ def test_tracker_intermittent_clutter_not_confirmed():
     assert len(trails) == 1  # only the persistent vehicle confirms
     (trail,) = trails.values()
     assert np.allclose(trail[0][1][:2], [15.0, 2.0], atol=1.0)
+
+
+def test_quick_trained_state_no_fallback_raises(tmp_path):
+    """fallback=False must raise instead of silently quick-training a
+    substitute model (the wide-yaw companion row would otherwise publish
+    a fallback model's scores under the asset's name)."""
+    import json
+
+    import pytest
+
+    from tpufusion.benchmarks import _quick_trained_state
+
+    with pytest.raises(FileNotFoundError):
+        _quick_trained_state(
+            asset_path=str(tmp_path / "missing.npz"), fallback=False
+        )
+
+    # corrupt npz with a readable json: must raise, not fall back
+    bad = tmp_path / "bad.npz"
+    bad.write_bytes(b"not an npz")
+    (tmp_path / "bad.npz.json").write_text(json.dumps(
+        {"decode": {}, "model": {"head": "direct"}}
+    ))
+    with pytest.raises(Exception):
+        _quick_trained_state(asset_path=str(bad), fallback=False)
+
+
+def test_surface_fit_params_single_source():
+    """The scene-family -> fit-boundary mapping is shared by the trainer,
+    the asset-json writer, and the tuner (data/synthetic.py is the single
+    source of truth for the ray-cast surface insets)."""
+    from tpufusion.data.synthetic import surface_fit_params
+    from tpufusion.config import DEFAULT
+    from tpufusion.tools.train_synthetic_detector import deployment_decode
+
+    assert surface_fit_params("beam-ellipse") == ("ellipse", 0.9)
+    assert surface_fit_params("beam") == ("circle", 0.8)
+    assert surface_fit_params("uniform") == ("circle", 0.8)
+    d = deployment_decode(DEFAULT.decode, 0.8, 8.0, scenes="beam-ellipse")
+    assert (d.fit_boundary, d.fit_surface_scale) == ("ellipse", 0.9)
+    d = deployment_decode(DEFAULT.decode, 0.8, 8.0, scenes="beam")
+    assert (d.fit_boundary, d.fit_surface_scale) == ("circle", 0.8)

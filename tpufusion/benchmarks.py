@@ -330,7 +330,12 @@ def _wide_yaw_eval(frames: int = 128, batch: int = 32) -> dict | None:
     try:
         with open(asset + ".json") as f:
             meta = json.load(f)
-        graphdef, state, dcfg, head = _quick_trained_state(asset_path=asset)
+        # fallback=False: a quick-trained substitute model scored on this
+        # asset's scene family would publish garbage under its name —
+        # any load failure must skip the row instead
+        graphdef, state, dcfg, head = _quick_trained_state(
+            asset_path=asset, fallback=False, meta=meta
+        )
         from tpufusion.eval.scoring import score_poses
         from tpufusion.predict import make_e2e_step
         from tpufusion.tools.detector_envelope import (
@@ -375,7 +380,9 @@ def _wide_yaw_eval(frames: int = 128, batch: int = 32) -> dict | None:
 
 def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
                          steps_per_batch: int = 15,
-                         asset_path: str | None = None):
+                         asset_path: str | None = None,
+                         fallback: bool = True,
+                         meta: dict | None = None):
     """Detector weights + decode operating point for configs 4/5: load
     the shipped synthetic-scene asset (tpufusion/assets/
     synthetic_detector.npz, produced by tools/train_synthetic_detector
@@ -387,7 +394,11 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
     assume large near-object footprints; see
     tools/train_synthetic_detector.deployment_decode). `head` routes
     make_e2e_step to the matching decode. Any failure to read or load
-    the asset falls back to in-benchmark quick training."""
+    the asset falls back to in-benchmark quick training — unless
+    fallback=False, which re-raises instead (for callers whose results
+    are meaningless on anything but the named asset, e.g. the wide-yaw
+    companion row). `meta` passes an already-parsed asset json so such
+    callers don't read the file twice."""
     import json
     import os
 
@@ -395,6 +406,8 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
         os.path.dirname(os.path.abspath(__file__)),
         "assets", "synthetic_detector.npz",
     )
+    if not os.path.exists(asset) and not fallback:
+        raise FileNotFoundError(asset)
     if os.path.exists(asset):
         # One guard around the WHOLE asset path (json parse, FCN build,
         # weight load): a readable-but-corrupt json would otherwise leave
@@ -403,8 +416,9 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
         try:
             from tpufusion.models.io import load_state_npz
 
-            with open(asset + ".json") as f:
-                meta = json.load(f)
+            if meta is None:
+                with open(asset + ".json") as f:
+                    meta = json.load(f)
             dcfg = dataclasses.replace(CFG.decode, **meta.get("decode", {}))
             mcfg = meta.get("model", {})
             model = FCN(
@@ -416,6 +430,8 @@ def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
             gd, st = nnx.split(model)
             return gd, st, dcfg, mcfg.get("head", "corner")
         except Exception as e:  # noqa: BLE001 — fall back to quick training
+            if not fallback:
+                raise
             log(f"detector asset unusable ({e!r}); quick-training instead")
 
     import optax

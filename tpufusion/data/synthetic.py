@@ -242,6 +242,20 @@ def synthesize_dataset(
 # contract (range_view.py: `valid` masks padding).
 
 
+def surface_fit_params(scenes: str) -> tuple[str, float]:
+    """(fit_boundary, fit_surface_scale) for a scene-family name — the
+    decode's "fit" boundary model matching _raycast_scene's surface
+    insets (ellipse semi-axes are 0.9*(l/2, w/2); the circle radius is
+    0.8*0.5*sqrt(l^2+w^2)). Single source of truth: the trainer, the
+    asset-json writer, and the operating-point tuner all derive the fit
+    parameters here, so changing a ray-cast inset (or adding a scene
+    family) cannot silently ship an asset whose boundary no longer
+    matches the surface it was validated on."""
+    if scenes.endswith("ellipse"):
+        return "ellipse", 0.9
+    return "circle", 0.8
+
+
 def _raycast_scene(
     key: jax.Array,
     batch: int,

@@ -26,6 +26,7 @@ from flax import nnx
 
 from tpufusion.config import DEFAULT, LossConfig, TrainConfig
 from tpufusion.data.synthetic import (
+    surface_fit_params,
     synthesize_beam_scan_batch,
     synthesize_points_batch,
 )
@@ -147,14 +148,12 @@ def deployment_decode(base, min_prob: float, min_bbox_area: float,
     WITH the thresholds it was validated at (stored in the asset json and
     applied by tpufusion.benchmarks when loading the asset). The "fit"
     center mode's boundary model follows the scene family's vehicle
-    surface (DecodeConfig.fit_boundary): oriented ellipse inset 0.9 for
-    beam-ellipse, circle inset 0.8 otherwise (data/synthetic.py ray-cast
-    constants)."""
-    ellipse = scenes.endswith("ellipse")
+    surface (DecodeConfig.fit_boundary; data/synthetic.py::
+    surface_fit_params is the single source of truth)."""
+    boundary, scale = surface_fit_params(scenes)
     return dataclasses.replace(
         base, min_prob=min_prob, min_bbox_area=min_bbox_area,
-        fit_boundary="ellipse" if ellipse else "circle",
-        fit_surface_scale=0.9 if ellipse else 0.8,
+        fit_boundary=boundary, fit_surface_scale=scale,
     )
 
 
@@ -358,9 +357,9 @@ def _write_asset_json(args, best):
         # pin the "fit" mode's boundary model to the scene family the
         # asset was validated on (used when direct_center == "fit", and
         # by anyone re-tuning the operating point later)
-        ellipse = args.scenes.endswith("ellipse")
-        decode["fit_boundary"] = "ellipse" if ellipse else "circle"
-        decode["fit_surface_scale"] = 0.9 if ellipse else 0.8
+        boundary, scale = surface_fit_params(args.scenes)
+        decode["fit_boundary"] = boundary
+        decode["fit_surface_scale"] = scale
     with open(args.out + ".json", "w") as f:
         json.dump({"best": best, "steps": args.steps,
                    "scenes": args.scenes,

@@ -67,14 +67,16 @@ def main(argv=None):
     # local rotation (config default) and its yaw turns to noise
     yaw_frame = meta.get("decode", {}).get("direct_yaw_frame", "global")
     # "fit" boundary model: from the asset json when pinned, else derived
-    # from the scene family (ellipse scenes -> ellipse inset 0.9, circle
-    # scenes -> circle inset 0.8; data/synthetic.py ray-cast constants)
-    ellipse = scenes.endswith("ellipse")
+    # from the scene family (data/synthetic.py::surface_fit_params — the
+    # single source of truth for the ray-cast surface insets)
+    from tpufusion.data.synthetic import surface_fit_params
+
+    boundary_default, scale_default = surface_fit_params(scenes)
     fit_boundary = meta.get("decode", {}).get(
-        "fit_boundary", "ellipse" if ellipse else "circle"
+        "fit_boundary", boundary_default
     )
     fit_scale = meta.get("decode", {}).get(
-        "fit_surface_scale", 0.9 if ellipse else 0.8
+        "fit_surface_scale", scale_default
     )
     base_decode = dataclasses.replace(
         DEFAULT.decode, direct_yaw_frame=yaw_frame,

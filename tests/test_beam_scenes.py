@@ -171,3 +171,42 @@ def test_ellipse_surface_yaw_observable():
     # entry distances sit on/near the r=0.81 scaled ellipse around 12 m
     d = np.linalg.norm(pe[:, :2], axis=1)
     assert (d > 10.5).all() and (d < 12.1).all()
+
+
+def test_oriented_tracking_sequence():
+    """oriented=True: per-vehicle yaw is constant, equals the velocity
+    heading, the gt stays in the orbit convention (physical center =
+    Rz(yaw) @ center follows a constant-velocity path), and vehicle
+    returns land near the physical position, not the orbit tuple."""
+    seq, gt, valid = synthesize_beam_tracking_sequence(
+        jax.random.PRNGKey(9), 6, 8192, n_vehicles=2, oriented=True
+    )
+    yaw = np.asarray(gt["yaw"])  # (F, V)
+    c = np.asarray(gt["center"])  # (F, V, 3) orbit tuples
+    assert seq.shape == (6, 8192, 4)
+    # constant heading per vehicle
+    np.testing.assert_allclose(yaw, np.broadcast_to(yaw[0], yaw.shape), atol=1e-6)
+
+    # physical path: Rz(yaw) @ center, constant velocity
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    phys = np.stack(
+        [cy * c[..., 0] - sy * c[..., 1],
+         sy * c[..., 0] + cy * c[..., 1]], axis=-1,
+    )  # (F, V, 2)
+    steps = np.diff(phys, axis=0)  # (F-1, V, 2)
+    np.testing.assert_allclose(steps, np.broadcast_to(steps[0], steps.shape), atol=1e-4)
+    speed = np.linalg.norm(steps[0], axis=-1)
+    # heading equals the velocity direction for moving vehicles
+    for vi in range(2):
+        if speed[vi] > 0.02:
+            want = np.arctan2(steps[0, vi, 1], steps[0, vi, 0])
+            d = (yaw[0, vi] - want + np.pi) % (2 * np.pi) - np.pi
+            assert abs(d) < 1e-4, (yaw[0, vi], want)
+
+    # vehicle returns (intensity >= 30 marks vehicle hits in the
+    # ray-cast) cluster near the PHYSICAL position of each vehicle
+    p0 = np.asarray(seq[0])[np.asarray(valid[0])]
+    veh = p0[p0[:, 3] >= 30.0]
+    assert len(veh) > 0
+    d0 = np.linalg.norm(veh[None, :, :2] - phys[0][:, None], axis=-1)
+    assert (d0.min(axis=1) < 3.5).any(), d0.min(axis=1)

@@ -524,7 +524,7 @@ def config5_waymo_scale() -> dict:
     )
 
     n_dev = len(jax.devices())
-    return {
+    out = {
         "config": 5,
         "metric": "Waymo-scale 128k-pt clouds + top-4 decode + tracking",
         "value": round(16 / dt, 1),
@@ -544,6 +544,90 @@ def config5_waymo_scale() -> dict:
         ),
         **box_scores,
     }
+    oriented = _oriented_tracking_eval()
+    if oriented:
+        out["oriented"] = oriented
+    return out
+
+
+def _oriented_tracking_eval(frames: int = 16) -> dict | None:
+    """Config 5's oriented companion: the same temporal-tracking protocol
+    with vehicles rendered as oriented ellipses heading along their
+    velocity (synthesize_beam_tracking_sequence(oriented=True)), decoded
+    top-4 with the wide-yaw asset and tracked in the PHYSICAL frame —
+    the constant-velocity motion model holds for physical positions, not
+    orbit tuples, and feeding the tracker orbit centers would let a yaw
+    estimation error masquerade as motion. Returns None when the
+    wide-yaw asset is absent or unusable (same contract as
+    _wide_yaw_eval)."""
+    import json
+    import os
+
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets", "synthetic_detector_yaw.npz",
+    )
+    if not os.path.exists(asset):
+        return None
+    try:
+        with open(asset + ".json") as f:
+            meta = json.load(f)
+        graphdef, state, dcfg, head = _quick_trained_state(
+            asset_path=asset, fallback=False, meta=meta
+        )
+        from tpufusion.data.synthetic import (
+            synthesize_beam_tracking_sequence,
+        )
+        from tpufusion.eval.scoring import (
+            orbit_to_physical,
+            score_multi_poses,
+        )
+        from tpufusion.predict import make_e2e_step
+        from tpufusion.serve.tracker import (
+            PoseTracker,
+            track_quality_metrics,
+        )
+
+        fn = make_e2e_step(graphdef, SPEC, dcfg, max_obstacles=4,
+                           head=head)
+        seq_pts, seq_gt, seq_valid = synthesize_beam_tracking_sequence(
+            jax.random.PRNGKey(88), frames, 32768, n_vehicles=2,
+            oriented=True,
+        )
+        force(seq_pts)
+        p, fd = fn(state, seq_pts, seq_valid)
+        pp = orbit_to_physical(np.asarray(p))  # (F, K, 7) physical
+        trails = PoseTracker(dt=0.1).run_multi(pp, np.asarray(fd))
+        gt_pose = np.concatenate(
+            [
+                np.asarray(seq_gt["center"]),
+                np.asarray(seq_gt["yaw"])[..., None],
+                np.asarray(seq_gt["size"]),
+            ],
+            axis=-1,
+        )  # (F, V, 7) orbit tuples
+        phys_c = orbit_to_physical(gt_pose)[..., :3]
+        quality = track_quality_metrics(trails, phys_c)
+        box_scores = score_multi_poses(
+            np.asarray(p), np.asarray(fd),
+            np.asarray(seq_gt["center"]), np.asarray(seq_gt["yaw"]),
+            np.asarray(seq_gt["size"]), pose_frame="orbit",
+        )
+        return {
+            "asset": os.path.basename(asset),
+            "vehicles_tracked": (
+                f"{quality['vehicles_tracked']}"
+                f"/{quality['vehicles_total']}"
+            ),
+            "spurious_tracks": quality["spurious_tracks"],
+            "id_switches": quality["id_switches"],
+            "fragmentation": quality["fragmentation"],
+            "track_coverage": quality["coverage"],
+            **box_scores,
+        }
+    except Exception as e:  # noqa: BLE001 — companion row is best-effort
+        log(f"oriented tracking eval skipped ({e!r})")
+        return None
 
 
 CONFIGS = {

@@ -545,24 +545,54 @@ def synthesize_beam_tracking_sequence(
     max_range: float = 60.0,
     n_clutter: int = 24,
     dropout: float = 0.12,
+    oriented: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array], jax.Array]:
     """Beam-structured temporal sequence (cf.
     synthesize_tracking_sequence): constant-velocity vehicles, clutter
     and sweep phase resampled per frame. Returns (points (F, N, 4), gt
-    (F, V, ...), valid (F, N))."""
+    (F, V, ...), valid (F, N)).
+
+    oriented=True renders each vehicle as an oriented ellipse heading
+    along its velocity vector (the physically sensible orientation for
+    a moving vehicle) instead of the rotationally symmetric circle
+    surface. The gt dict stays in the reference's orbit convention like
+    every other generator here (physical center = Rz(yaw) @ center,
+    physical heading = yaw), so per-vehicle yaw is constant and equals
+    the velocity heading, and "center" is the orbit tuple Rz(-yaw) of
+    the physical path."""
     kframe, klayout, kvel = jax.random.split(key, 3)
     f, v = frames, n_vehicles
 
     _, gt0 = synthesize_multi_vehicle_batch(klayout, 1, 64, v, max_range)
-    c0 = gt0["center"][0]  # (V, 3)
+    c0 = gt0["center"][0]  # (V, 3) physical positions at t=0
     vel = jax.random.uniform(kvel, (v, 3), minval=-2.0, maxval=2.0)
     vel = vel.at[:, 2].set(0.0)
     t = jnp.arange(f, dtype=jnp.float32)[:, None, None] * dt
-    centers = c0[None] + vel[None] * t  # (F, V, 3)
+    centers = c0[None] + vel[None] * t  # (F, V, 3) physical paths
     size = jnp.broadcast_to(jnp.asarray([4.2, 1.6, 1.5]), (f, v, 3))
+    if not oriented:
+        points, valid = _raycast_scene(
+            kframe, f, n_beams, n_points // n_beams, centers, size,
+            max_range, n_clutter, dropout,
+        )
+        return points, {"center": centers, "size": size,
+                        "yaw": jnp.zeros((f, v))}, valid
+
+    psi = jnp.arctan2(vel[:, 1], vel[:, 0])  # (V,) physical headings
+    yaws = jnp.broadcast_to(psi[None], (f, v))
     points, valid = _raycast_scene(
-        kframe, f, n_beams, n_points // n_beams, centers, size, max_range,
-        n_clutter, dropout,
+        kframe, f, n_beams, n_points // n_beams, centers, size,
+        max_range, n_clutter, dropout,
+        vehicle_surface="ellipse", yaws=yaws,
     )
-    return points, {"center": centers, "size": size,
-                    "yaw": jnp.zeros((f, v))}, valid
+    # orbit tuple for the gt dict: center = Rz(-psi) @ physical
+    c, s = jnp.cos(psi)[None], jnp.sin(psi)[None]  # (1, V)
+    orbit = jnp.stack(
+        [
+            c * centers[..., 0] + s * centers[..., 1],
+            -s * centers[..., 0] + c * centers[..., 1],
+            centers[..., 2],
+        ],
+        axis=-1,
+    )
+    return points, {"center": orbit, "size": size, "yaw": yaws}, valid

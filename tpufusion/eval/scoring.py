@@ -206,7 +206,7 @@ def score_multi_poses(
         raise ValueError(f"unknown pose_frame {pose_frame!r}")
     f, v = gt_centers.shape[:2]
     matched, false_pos = 0, 0
-    ious, xy_errs = [], []
+    ious, xy_errs, yaw_errs = [], [], []
     for fr in range(f):
         cand = [k for k in range(poses.shape[1]) if found[fr, k]]
         used = set()
@@ -227,10 +227,15 @@ def score_multi_poses(
             )
             ious.append(box_iou_3d(poses[fr, k], truth))
             xy_errs.append(d[j])
+            dy = abs((poses[fr, k, 3] - gt_yaws[fr, vi]) % np.pi)
+            yaw_errs.append(min(dy, np.pi - dy))
         false_pos += len(cand) - len(used)
     return {
         "box_recall": round(matched / max(f * v, 1), 3),
         "box_mean_iou": round(float(np.mean(ious)) if ious else 0.0, 3),
         "box_xy_err": round(float(np.mean(xy_errs)) if xy_errs else float("nan"), 3),
+        "box_yaw_err": round(
+            float(np.mean(yaw_errs)) if yaw_errs else float("nan"), 3
+        ),
         "false_positives": int(false_pos),
     }

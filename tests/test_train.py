@@ -574,3 +574,16 @@ def test_detector_trainer_points_mix_smoke(tmp_path):
     meta = _json.load(open(out + ".json"))
     assert meta["points_mix"] == "512,1024"
     assert meta["n_points"] == 1024
+    # circle ("beam") scenes resolve the auto codec to global: the local
+    # target is unlearnable on rotationally symmetric surfaces
+    assert meta["decode"]["direct_yaw_frame"] == "global"
+
+
+def test_resolve_yaw_frame():
+    from tpufusion.tools.train_synthetic_detector import resolve_yaw_frame
+
+    assert resolve_yaw_frame("auto", "beam") == "global"
+    assert resolve_yaw_frame("auto", "uniform") == "global"
+    assert resolve_yaw_frame("auto", "beam-ellipse") == "local"
+    assert resolve_yaw_frame("local", "beam") == "local"
+    assert resolve_yaw_frame("global", "beam-ellipse") == "global"

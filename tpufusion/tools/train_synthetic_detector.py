@@ -138,6 +138,16 @@ def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
                             + 2.0 * float(sc["mean_iou"]))}
 
 
+def resolve_yaw_frame(yaw_frame: str, scenes: str) -> str:
+    """"auto" -> the codec the scene family's surface supports: "local"
+    for oriented-ellipse surfaces (the arc's ray-relative orientation is
+    locally observable), "global" for rotationally symmetric ones (the
+    local target degenerates to unlearnable position information)."""
+    if yaw_frame != "auto":
+        return yaw_frame
+    return "local" if scenes.endswith("ellipse") else "global"
+
+
 def deployment_decode(base, min_prob: float, min_bbox_area: float,
                       scenes: str = "beam"):
     """The asset's decode operating point. The reference's constants
@@ -211,6 +221,16 @@ def main(argv=None):
     # joint reg-channel L2 (LossConfig.reg_channel_weights) — the <=0.43
     # magnitude yaw targets are gradient-starved next to meter-scale dc
     ap.add_argument("--yaw_weight", type=float, default=1.0)
+    # sin/cos yaw codec: "auto" = local for oriented-ellipse scenes,
+    # global for circle/uniform. The local codec's target is the arc's
+    # ray-relative orientation — on a rotationally SYMMETRIC surface the
+    # arc looks identical at every azimuth, so that target degenerates
+    # to pure position information a translation-equivariant conv trunk
+    # cannot represent (measured: yaw_err 0.73 rad ~ noise on circle
+    # scenes with the local codec, 0.025 with global; the ellipse case
+    # is the opposite — NOTES.md round 3).
+    ap.add_argument("--yaw_frame", choices=("auto", "local", "global"),
+                    default="auto")
     ap.add_argument("--init_from", default=None,
                     help="warm-start weights from an existing asset npz "
                          "(fine-tuning, e.g. for robustness passes)")
@@ -274,11 +294,15 @@ def main(argv=None):
         TrainConfig(batch_size=args.batch,
                     augment=args.head != "direct"),
         head=args.head,
+        yaw_frame=resolve_yaw_frame(args.yaw_frame, args.scenes),
     )
     graphdef, _ = nnx.split(model)
-    dcfg = deployment_decode(
-        cfg.decode, args.eval_min_prob, args.eval_min_bbox_area,
-        scenes=args.scenes,
+    dcfg = dataclasses.replace(
+        deployment_decode(
+            cfg.decode, args.eval_min_prob, args.eval_min_bbox_area,
+            scenes=args.scenes,
+        ),
+        direct_yaw_frame=resolve_yaw_frame(args.yaw_frame, args.scenes),
     )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -351,9 +375,12 @@ def _write_asset_json(args, best):
     if "center" in best and best["center"]:
         decode["direct_center"] = best["center"]
     if args.head == "direct":
-        # pin the yaw-channel frame the asset was trained with (the codec
-        # default changed to "local" in round 3; older assets are global)
-        decode["direct_yaw_frame"] = "local"
+        # pin the yaw-channel frame the asset was trained with (resolved
+        # per scene family — see resolve_yaw_frame; older assets are
+        # global)
+        decode["direct_yaw_frame"] = resolve_yaw_frame(
+            args.yaw_frame, args.scenes
+        )
         # pin the "fit" mode's boundary model to the scene family the
         # asset was validated on (used when direct_center == "fit", and
         # by anyone re-tuning the operating point later)

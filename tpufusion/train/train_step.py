@@ -40,6 +40,7 @@ def make_train_step(
     use_regression: bool = True,
     mesh=None,
     head: str = "corner",
+    yaw_frame: str = "local",
 ):
     """Returns train_step(model, optimizer, batch, key) -> (loss, metrics).
 
@@ -47,6 +48,15 @@ def make_train_step(
     pinned to the data x spatial layout after projection/encode, so GSPMD
     spatially partitions the FCN convolutions (halo exchanges at shard
     edges) instead of gathering full images per chip.
+
+    yaw_frame selects the direct head's sin/cos codec
+    (geometry/encoding.encode_direct_label): "local" for oriented
+    surfaces (the arc's ray-relative orientation is the locally visible
+    quantity), "global" for rotationally symmetric surfaces, where the
+    local target is pure position information a translation-equivariant
+    trunk cannot represent (tools/train_synthetic_detector resolves this
+    per scene family; decode must use the matching
+    DecodeConfig.direct_yaw_frame).
 
     head="direct" encodes the 8-channel direct-pose targets instead of
     the 24-dim corner field; the azimuth-roll augmentation is skipped for
@@ -65,7 +75,8 @@ def make_train_step(
             from tpufusion.geometry.encoding import encode_direct_label_batch
 
             labels = encode_direct_label_batch(
-                batch["center"], batch["size"], batch["yaw"], images, spec
+                batch["center"], batch["size"], batch["yaw"], images, spec,
+                yaw_frame=yaw_frame,
             )
         else:
             labels = encode_label_batch(
@@ -111,7 +122,8 @@ def make_eval_step(
             from tpufusion.geometry.encoding import encode_direct_label_batch
 
             labels = encode_direct_label_batch(
-                batch["center"], batch["size"], batch["yaw"], images, spec
+                batch["center"], batch["size"], batch["yaw"], images, spec,
+                yaw_frame=yaw_frame,
             )
         else:
             labels = encode_label_batch(

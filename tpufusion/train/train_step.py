@@ -112,7 +112,10 @@ def make_eval_step(
     loss_cfg: LossConfig,
     use_regression: bool = True,
     head: str = "corner",
+    yaw_frame: str = "local",
 ):
+    """Eval twin of make_train_step; yaw_frame must match the codec the
+    model was trained with (see make_train_step's docstring)."""
     @nnx.jit
     def eval_step(model, batch):
         images = _batch_images(batch, spec)

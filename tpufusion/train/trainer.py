@@ -97,13 +97,17 @@ class Trainer:
         self.optimizer = nnx.Optimizer(self.model, tx, wrt=nnx.Param)
         if cfg.model.head not in ("corner", "direct"):
             raise ValueError(f"unknown model head {cfg.model.head!r}")
+        # The direct head's yaw codec has one source of truth per pipeline:
+        # DecodeConfig.direct_yaw_frame (decode must invert the codec the
+        # model was trained with — NOTES.md round-3 sessions B/D).
+        yaw_frame = cfg.decode.direct_yaw_frame
         self.train_step = make_train_step(
             cfg.range_view, cfg.loss, cfg.train, cfg.model.use_regression,
-            head=cfg.model.head,
+            head=cfg.model.head, yaw_frame=yaw_frame,
         )
         self.eval_step = make_eval_step(
             cfg.range_view, cfg.loss, cfg.model.use_regression,
-            head=cfg.model.head,
+            head=cfg.model.head, yaw_frame=yaw_frame,
         )
         self.history = MetricHistory()
         self.ckpt = CheckpointManager(

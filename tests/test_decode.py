@@ -600,3 +600,124 @@ def test_direct_fit_center_mode_circle():
     )
     assert xy_f[fd].mean() <= xy_c[fd].mean() + 0.05, (xy_f, xy_c)
     assert xy_f[fd].mean() < 0.7, xy_f
+
+
+def test_direct_fit_center_mode_box():
+    """center="fit" with the BOX boundary on box-rendered scenes — the
+    oracle-sensitivity case VERDICT r3 asked for: the ray-caster renders
+    the true l x w rectangle (no inset) and the fit's rectangle model
+    uses only the head's size estimate (scale 1.0), so no constant is
+    shared with the generator. Same structure as the ellipse test:
+    (a) oracle labels: fit must match-or-beat consensus and keep yaw
+    tight; (b) +0.35 rad head-yaw bias: the fit must recover most of it
+    from the surface points."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_beam_scan_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.eval.scoring import orbit_to_physical
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt, valid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(23), 16, 32768, max_yaw=0.45,
+        vehicle_surface="box",
+    )
+    imgs = range_view_project_batch(pts, spec, valid)
+    labels = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec
+    )
+    dcfg = dataclasses.replace(
+        cfg.decode, min_bbox_area=20.0,
+        fit_boundary="box", fit_surface_scale=1.0,
+    )
+    truth = np.concatenate(
+        [np.asarray(gt["center"]), np.asarray(gt["yaw"])[:, None],
+         np.asarray(gt["size"])], axis=1,
+    )
+    tp = orbit_to_physical(truth)
+
+    def run(lab, mode):
+        out = decode_batch_direct(lab, imgs, spec, dcfg, 1, center=mode)
+        po = np.asarray(out["poses"])[:, 0]
+        fd = np.asarray(out["found"])[:, 0]
+        pp = orbit_to_physical(po)
+        xy = np.linalg.norm(pp[:, :2] - tp[:, :2], axis=1)
+        dy = np.abs((pp[:, 3] - tp[:, 3]) % np.pi)
+        return fd, xy, np.minimum(dy, np.pi - dy)
+
+    # (a) oracle labels: fit matches-or-beats consensus, yaw stays tight
+    fd_f, xy_f, yaw_f = run(labels, "fit")
+    fd_c, xy_c, yaw_c = run(labels, "consensus")
+    np.testing.assert_array_equal(fd_f, fd_c)
+    assert fd_f.sum() >= 6, fd_f
+    assert xy_f[fd_f].mean() <= xy_c[fd_c].mean() + 0.05, (xy_f, xy_c)
+    assert yaw_f[fd_f].mean() < 0.2, yaw_f
+
+    # (b) bias the yaw channels by +0.35 rad (pure head-yaw error)
+    delta = 0.35
+    s, c = np.asarray(labels[..., 8]), np.asarray(labels[..., 9])
+    lab_b = np.asarray(labels).copy()
+    lab_b[..., 8] = s * np.cos(delta) + c * np.sin(delta)
+    lab_b[..., 9] = c * np.cos(delta) - s * np.sin(delta)
+    lab_b = jnp.asarray(lab_b)
+    fd_fb, xy_fb, yaw_fb = run(lab_b, "fit")
+    fd_cb, xy_cb, yaw_cb = run(lab_b, "consensus")
+    assert yaw_cb[fd_cb].mean() > 0.25, yaw_cb  # consensus keeps the bias
+    assert yaw_fb[fd_fb].mean() < yaw_cb[fd_cb].mean() - 0.10, (
+        yaw_fb, yaw_cb)
+    assert np.median(yaw_fb[fd_fb]) < 0.15, yaw_fb
+    assert xy_fb[fd_fb].mean() < xy_cb[fd_cb].mean() + 0.05, (xy_fb, xy_cb)
+
+
+def test_box_raycast_surface_geometry():
+    """vehicle_surface="box" must place vehicle returns ON the oriented
+    l x w rectangle outline (within surface noise), with L-shaped
+    two-face coverage when viewed obliquely."""
+    import jax
+    import numpy as np
+
+    from tpufusion.data.synthetic import synthesize_beam_scan_batch
+
+    pts, gt, valid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(3), 6, 32768, max_yaw=0.45,
+        vehicle_surface="box",
+    )
+    p = np.asarray(pts)
+    v = np.asarray(valid)
+    c = np.asarray(gt["center"])
+    yaw = np.asarray(gt["yaw"])
+    sz = np.asarray(gt["size"])
+    for i in range(p.shape[0]):
+        cy, sy = np.cos(yaw[i]), np.sin(yaw[i])
+        spot = np.array(
+            [cy * c[i, 0] - sy * c[i, 1], sy * c[i, 0] + cy * c[i, 1]]
+        )
+        # gate to the vehicle's z-band first: clutter poles taller than
+        # the box can return from inside its xy footprint (rays passing
+        # above the vehicle), and those are legitimate scene points
+        zb = c[i, 2] - sz[i, 2] / 2 - 0.1
+        zt = c[i, 2] + sz[i, 2] / 2 + 0.1
+        pv = p[i, v[i]]
+        pv = pv[(pv[:, 2] >= zb) & (pv[:, 2] <= zt)]
+        d = pv[:, :2] - spot
+        u = cy * d[:, 0] + sy * d[:, 1]
+        w_ = -sy * d[:, 0] + cy * d[:, 1]
+        su = np.abs(u) / (sz[i, 0] / 2)
+        sv = np.abs(w_) / (sz[i, 1] / 2)
+        # the +-0.03 m radial surface noise maps to ~0.04-0.12 scaled
+        # units depending on incidence, so "on the outline" is a band
+        onbox = np.abs(np.maximum(su, sv) - 1.0) < 0.15
+        inside = np.maximum(su, sv) <= 1.1
+        n_in = int(inside.sum())
+        assert n_in >= 20, n_in
+        # returns sit on the outline band, not in the deep interior
+        assert onbox.sum() >= 0.8 * n_in, (onbox.sum(), n_in)
+        assert (np.maximum(su, sv)[inside] > 0.6).mean() > 0.95

@@ -256,13 +256,18 @@ class DecodeConfig:
     direct_center: str = "backproject"
     # "fit" mode's boundary model: "ellipse" fits an oriented ellipse
     # with semi-axes fit_surface_scale*(l/2, w/2) — orientation becomes
-    # observable from arc shape; "circle" fits a circle of radius
-    # fit_surface_scale*0.5*sqrt(l^2+w^2) (rotationally symmetric
-    # obstacles — yaw stays the head's estimate). The scale is the
-    # inset of the visible surface relative to the box hull (real
-    # vehicles return off body panels inside the bbox; the synthetic
-    # rounded-box scenes use 0.9 ellipse / 0.8 circle — asset jsons pin
-    # the value they were validated at).
+    # observable from arc shape; "box" fits the l x w RECTANGLE outline
+    # (scaled-Chebyshev residual, active-face Gauss-Newton) — the actual
+    # task geometry the reference's decode assumed
+    # (predict.py:166-197 derives l/w/h/yaw from a rectangle) and the
+    # right model for real vehicles' L-shaped silhouettes; "circle" fits
+    # a circle of radius fit_surface_scale*0.5*sqrt(l^2+w^2)
+    # (rotationally symmetric obstacles — yaw stays the head's
+    # estimate). The scale is the inset of the visible surface relative
+    # to the box hull (real vehicles return off body panels inside the
+    # bbox; the synthetic rounded-box scenes use 0.9 ellipse /
+    # 0.8 circle; box scenes render the true rectangle, scale 1.0 —
+    # asset jsons pin the value they were validated at).
     fit_boundary: str = "ellipse"
     fit_surface_scale: float = 0.9
     # Frame of the direct head's sin/cos yaw channels:

@@ -250,9 +250,19 @@ def surface_fit_params(scenes: str) -> tuple[str, float]:
     asset-json writer, and the operating-point tuner all derive the fit
     parameters here, so changing a ray-cast inset (or adding a scene
     family) cannot silently ship an asset whose boundary no longer
-    matches the surface it was validated on."""
+    matches the surface it was validated on.
+
+    The "box" family deliberately shares NO constant with the fit: the
+    ray-caster renders the true l x w rectangle (no inset) and the fit
+    uses the HEAD's predicted l/w at scale 1.0 — the fit's only inputs
+    are the network's size estimate and the raw surface returns, exactly
+    the information the reference's decode had (predict.py:166-197
+    derives l/w/h/yaw from a rectangle model). This is the
+    oracle-sensitivity control VERDICT r3 asked for."""
     if scenes.endswith("ellipse"):
         return "ellipse", 0.9
+    if scenes.endswith("box"):
+        return "box", 1.0
     return "circle", 0.8
 
 
@@ -274,6 +284,8 @@ def _raycast_scene(
     yaws: jax.Array | None = None,  # (B, V) physical orientations (ellipse)
 ) -> tuple[jax.Array, jax.Array]:
     """Ray-cast (points (B, n_beams*n_azimuth, 4), valid (B, N) bool)."""
+    if vehicle_surface not in ("circle", "ellipse", "box"):
+        raise ValueError(f"unknown vehicle_surface {vehicle_surface!r}")
     if yaws is None:
         yaws = jnp.zeros(centers.shape[:2], centers.dtype)
     b, v = batch, centers.shape[1]
@@ -317,6 +329,10 @@ def _raycast_scene(
     #     corner convention implies (encoder.py:47-60 rotates corners
     #     about the sensor origin, orienting the box by yaw as it orbits).
     #     Length/width anisotropy makes yaw and l-vs-w OBSERVABLE.
+    #   box: the TRUE l x w rectangle (slab-method ray entry, no inset) —
+    #     the L-shaped silhouette real vehicle scans show. This is the
+    #     one family whose surface the decode's parametric fits do NOT
+    #     generatively know (see surface_fit_params).
     # Either way the hit stands only if its height lands within the box's
     # z extent.
     d_v = jnp.linalg.norm(centers[..., :2], axis=-1)  # (B, V)
@@ -346,6 +362,40 @@ def _raycast_scene(
         under = Bq**2 - A * C
         hit_az = under > 0.0
         rho_vehicle = (-Bq - jnp.sqrt(jnp.where(hit_az, under, 1.0))) / A
+    elif vehicle_surface == "box":
+        # slab-method ray/oriented-rectangle entry: ray p(t) = t*d from
+        # the origin; in the box frame q(t) = t*d' - c' with
+        # d' = R(-yaw) d, c' = R(-yaw) c. Entry at t_near =
+        # max(axis slab minima), hit iff t_near <= t_far.
+        th = yaws  # (B, V) physical orientation
+        ct, st_ = jnp.cos(th)[:, :, None], jnp.sin(th)[:, :, None]
+        hl = jnp.maximum(sizes[..., 0] / 2.0, 1e-3)[:, :, None]
+        hw = jnp.maximum(sizes[..., 1] / 2.0, 1e-3)[:, :, None]
+        cx, cy = centers[..., 0][:, :, None], centers[..., 1][:, :, None]
+        dx, dy = jnp.cos(az)[:, None, :], jnp.sin(az)[:, None, :]
+        dqx = ct * dx + st_ * dy
+        dqy = -st_ * dx + ct * dy
+        q0x = -(ct * cx + st_ * cy)
+        q0y = -(-st_ * cx + ct * cy)
+
+        def _slab(q0, dq, half):
+            par = jnp.abs(dq) <= 1e-9
+            safe = jnp.where(par, 1.0, dq)
+            t1 = (-half - q0) / safe
+            t2 = (half - q0) / safe
+            tmin = jnp.minimum(t1, t2)
+            tmax = jnp.maximum(t1, t2)
+            inside = jnp.abs(q0) <= half  # parallel ray: all-or-nothing
+            tmin = jnp.where(par, jnp.where(inside, -big, big), tmin)
+            tmax = jnp.where(par, jnp.where(inside, big, -big), tmax)
+            return tmin, tmax
+
+        tx1, tx2 = _slab(q0x, dqx, hl)
+        ty1, ty2 = _slab(q0y, dqy, hw)
+        t_near = jnp.maximum(tx1, ty1)
+        t_far = jnp.minimum(tx2, ty2)
+        hit_az = (t_near <= t_far) & (t_far > 0.0)
+        rho_vehicle = t_near
     else:
         r_eff = (
             0.5 * jnp.sqrt(sizes[..., 0] ** 2 + sizes[..., 1] ** 2) * 0.8
@@ -442,8 +492,11 @@ def synthesize_beam_scan_batch(
     vehicle_surface="ellipse" renders an oriented (l/2, w/2) ellipse
     rotated by yaw — the physical orientation the reference's
     orbit-origin convention implies — making yaw and l-vs-w observable
-    from geometry; the default "circle" is rotationally symmetric (yaw
-    unobservable, the regime the reference's real data lived in).
+    from geometry; "box" renders the true l x w rectangle (L-shaped
+    silhouette, like real vehicle scans — the family no decode fit
+    parameterizes exactly); the default "circle" is rotationally
+    symmetric (yaw unobservable, the regime the reference's real data
+    lived in).
 
     angle_range restricts the vehicle's spawn azimuth (e.g. a camera-FOV
     wedge for fusion training, where the camera must see the obstacle).

@@ -717,7 +717,12 @@ def _fit_pose_to_surface(
     keep the seed + head yaw). cfg.fit_boundary="circle" fits a circle
     of radius fit_surface_scale*0.5*sqrt(l^2+w^2) instead — center only,
     phi stays the head's (rotationally symmetric obstacles carry no
-    orientation signal).
+    orientation signal). cfg.fit_boundary="box" fits the l x w RECTANGLE
+    outline (scaled-Chebyshev residual max(|u|/a, |v|/b) - 1, active-face
+    GN) — the rectangle model the reference's own decode assumed
+    (predict.py:166-197) and the right boundary for L-shaped real
+    vehicle silhouettes; its only inputs are the head's size estimate
+    and the raw returns, no generator constant.
     """
     from tpufusion.geometry.encoding import pixel_points
 
@@ -729,7 +734,7 @@ def _fit_pose_to_surface(
         )
         # phi is irrelevant for a circle; one candidate (the head yaw)
         phis = (yaw % jnp.pi)[None]
-    elif cfg.fit_boundary == "ellipse":
+    elif cfg.fit_boundary in ("ellipse", "box"):
         a = jnp.maximum(cfg.fit_surface_scale * l_ / 2.0, 1e-2)
         b = jnp.maximum(cfg.fit_surface_scale * w_ / 2.0, 1e-2)
         grid = (
@@ -761,19 +766,36 @@ def _fit_pose_to_surface(
     seed_xy = seed[:2]
 
     def residual(m_xy, phi):
+        """(r, (gu, gv, c, s)): residual per point + its gradient in the
+        BOX FRAME (u along phi, v across). ellipse/circle: the scaled
+        quadratic (u/a)^2 + (v/b)^2 - 1; box: the scaled Chebyshev
+        max(|u|/a, |v|/b) - 1, zero exactly on the rectangle outline —
+        its gradient is the active face's normal (piecewise-constant,
+        the standard active-set linearization for GN)."""
         c, s = jnp.cos(phi), jnp.sin(phi)
         dx = px - m_xy[0]
         dy = py - m_xy[1]
-        vx = (c * dx + s * dy) / a
-        vy = (-s * dx + c * dy) / b
-        return vx * vx + vy * vy - 1.0, (vx, vy, c, s)
+        u = c * dx + s * dy
+        v = -s * dx + c * dy
+        if cfg.fit_boundary == "box":
+            su = jnp.abs(u) / a
+            sv = jnp.abs(v) / b
+            r = jnp.maximum(su, sv) - 1.0
+            act_u = su >= sv
+            gu = jnp.where(act_u, jnp.sign(u) / a, 0.0)
+            gv = jnp.where(act_u, 0.0, jnp.sign(v) / b)
+        else:
+            vx = u / a
+            vy = v / b
+            r = vx * vx + vy * vy - 1.0
+            gu = 2.0 * vx / a
+            gv = 2.0 * vy / b
+        return r, (gu, gv, c, s)
 
     def gn(phi):
         def body(m_xy, _):
-            r, (vx, vy, c, s) = residual(m_xy, phi)
-            # dq/dm = -R(phi) @ (2vx/a, 2vy/b)
-            gx = 2.0 * vx / a
-            gy = 2.0 * vy / b
+            r, (gx, gy, c, s) = residual(m_xy, phi)
+            # dr/dm = -R(phi) @ (gu, gv)
             jx = -(c * gx - s * gy)
             jy = -(s * gx + c * gy)
             jxx = jnp.sum(wts * jx * jx) + lam

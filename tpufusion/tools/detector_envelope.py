@@ -84,8 +84,11 @@ def base_condition_from_meta(meta: dict) -> dict:
         n_points=int(meta.get("n_points", 32768)),
         max_yaw=float(meta.get("max_yaw", 0.05)),
     )
-    if str(meta.get("scenes", "beam")).endswith("ellipse"):
+    scenes = str(meta.get("scenes", "beam"))
+    if scenes.endswith("ellipse"):
         base_kw["vehicle_surface"] = "ellipse"
+    elif scenes.endswith("box"):
+        base_kw["vehicle_surface"] = "box"
     return base_kw
 
 
@@ -139,6 +142,12 @@ def main(argv=None):
                                       "vehicle_surface": "ellipse"})),
         ("ellipse yaw +-0.4", dict(**{**base_kw, "max_yaw": 0.4,
                                       "vehicle_surface": "ellipse"})),
+        # box (true l x w rectangle) surface: the L-shaped silhouette of
+        # real vehicle scans and the one family no fit parameterizes
+        ("box yaw 0", dict(**{**base_kw, "max_yaw": 0.0,
+                              "vehicle_surface": "box"})),
+        ("box yaw +-0.4", dict(**{**base_kw, "max_yaw": 0.4,
+                                  "vehicle_surface": "box"})),
     ]
     rows = {}
     base_preds = base_truth = None

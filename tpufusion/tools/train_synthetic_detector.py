@@ -36,14 +36,19 @@ def _synth(scenes, key, batch, n_points, max_yaw, vary_size=False,
            n_clutter=24):
     """(points, gt, valid) for any scene family (valid=None for the
     legacy uniform clutter). "beam-ellipse" renders oriented-ellipse
-    vehicles (yaw observable); "beam" keeps the rotationally symmetric
-    circle surface."""
+    vehicles (yaw observable); "beam-box" renders true l x w rectangles
+    (L-shaped silhouettes — the family no decode fit parameterizes);
+    "beam" keeps the rotationally symmetric circle surface."""
     if scenes.startswith("beam"):
+        if scenes.endswith("ellipse"):
+            surface = "ellipse"
+        elif scenes.endswith("box"):
+            surface = "box"
+        else:
+            surface = "circle"
         return synthesize_beam_scan_batch(
             key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size,
-            n_clutter=n_clutter,
-            vehicle_surface="ellipse" if scenes.endswith("ellipse")
-            else "circle",
+            n_clutter=n_clutter, vehicle_surface=surface,
         )
     pts, gt = synthesize_points_batch(
         key, batch, n_points, max_yaw=max_yaw, vary_size=vary_size
@@ -140,12 +145,15 @@ def evaluate(graphdef, state, spec, dcfg, batch=32, n_points=32768,
 
 def resolve_yaw_frame(yaw_frame: str, scenes: str) -> str:
     """"auto" -> the codec the scene family's surface supports: "local"
-    for oriented-ellipse surfaces (the arc's ray-relative orientation is
-    locally observable), "global" for rotationally symmetric ones (the
-    local target degenerates to unlearnable position information)."""
+    for oriented surfaces (ellipse/box — the silhouette's ray-relative
+    orientation is locally observable), "global" for rotationally
+    symmetric ones (the local target degenerates to unlearnable position
+    information)."""
     if yaw_frame != "auto":
         return yaw_frame
-    return "local" if scenes.endswith("ellipse") else "global"
+    if scenes.endswith("ellipse") or scenes.endswith("box"):
+        return "local"
+    return "global"
 
 
 def deployment_decode(base, min_prob: float, min_bbox_area: float,
@@ -215,7 +223,8 @@ def main(argv=None):
     # beam = ray-cast Velodyne-like scans (discrete beams, occlusion,
     # dropout) — the benchmark distribution since round 3; uniform = the
     # legacy dense-clutter scenes (kept for comparisons)
-    ap.add_argument("--scenes", choices=("beam", "beam-ellipse", "uniform"),
+    ap.add_argument("--scenes",
+                    choices=("beam", "beam-ellipse", "beam-box", "uniform"),
                     default="beam")
     # direct head only: multiplier on the sin/cos yaw channels inside the
     # joint reg-channel L2 (LossConfig.reg_channel_weights) — the <=0.43

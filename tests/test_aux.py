@@ -387,3 +387,32 @@ def test_surface_fit_params_single_source():
     assert (d.fit_boundary, d.fit_surface_scale) == ("ellipse", 0.9)
     d = deployment_decode(DEFAULT.decode, 0.8, 8.0, scenes="beam")
     assert (d.fit_boundary, d.fit_surface_scale) == ("circle", 0.8)
+
+
+def test_decode_for_resolution_overrides():
+    """decode_for_resolution picks the NEAREST calibrated resolution's
+    overrides and leaves the config untouched without a table."""
+    import dataclasses
+
+    from tpufusion.benchmarks import decode_for_resolution
+    from tpufusion.config import DecodeConfig
+
+    base = DecodeConfig(min_prob=0.8, min_bbox_area=8.0)
+    meta = {"decode_per_resolution": {
+        "16384": {"min_prob": 0.3},
+        "32768": {"min_prob": 0.8},
+        "65536": {"min_prob": 0.9, "min_bbox_area": 20.0},
+    }}
+    assert decode_for_resolution(base, meta, 16384).min_prob == 0.3
+    assert decode_for_resolution(base, meta, 20000).min_prob == 0.3
+    assert decode_for_resolution(base, meta, 32768).min_prob == 0.8
+    got = decode_for_resolution(base, meta, 100_000)
+    assert got.min_prob == 0.9 and got.min_bbox_area == 20.0
+    # overrides touch only the listed fields
+    assert got.direct_center == base.direct_center
+    # no table / no meta -> unchanged object
+    assert decode_for_resolution(base, {}, 16384) is base
+    assert decode_for_resolution(base, None, 16384) is base
+    assert decode_for_resolution(
+        base, {"decode_per_resolution": {}}, 16384
+    ) is base

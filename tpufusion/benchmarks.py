@@ -378,6 +378,24 @@ def _wide_yaw_eval(frames: int = 128, batch: int = 32) -> dict | None:
         return None
 
 
+def decode_for_resolution(dcfg, meta: dict | None, n_points: int):
+    """Apply an asset's per-resolution operating-point overrides.
+
+    Mixed-resolution training regularizes features but does NOT
+    calibrate the classifier's confidence per resolution (measured,
+    NOTES.md round 3: a 16k-point frame still fires below the 32k-tuned
+    min_prob). Assets therefore ship a `decode_per_resolution` table in
+    their json ({points_per_frame: {decode overrides}}, written by
+    tools/tune_detector_asset --per_resolution); this picks the nearest
+    calibrated resolution and overlays its overrides on the base decode
+    config. No table -> dcfg unchanged."""
+    table = (meta or {}).get("decode_per_resolution") or {}
+    if not table:
+        return dcfg
+    key = min(table, key=lambda k: abs(int(k) - n_points))
+    return dataclasses.replace(dcfg, **table[key])
+
+
 def _quick_trained_state(n_points: int = 32768, n_batches: int = 8,
                          steps_per_batch: int = 15,
                          asset_path: str | None = None,

@@ -151,9 +151,17 @@ def main(argv=None):
     ]
     rows = {}
     base_preds = base_truth = None
+    from tpufusion.benchmarks import decode_for_resolution
+
     for name, kw in conditions:
+        # per-resolution operating point: the asset's json may carry a
+        # decode_per_resolution calibration table (the sparse-sweep det
+        # drop is a threshold mismatch, not a feature failure)
+        cond_dcfg = decode_for_resolution(
+            dcfg, meta, kw.get("n_points", base_kw["n_points"])
+        )
         sc, preds, extra = run_condition(
-            graphdef, state, dcfg, head,
+            graphdef, state, cond_dcfg, head,
             n_batches=args.eval_batches, batch=args.batch, **kw,
         )
         if name == "trained distribution":

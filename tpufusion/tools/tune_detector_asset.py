@@ -40,6 +40,17 @@ def main(argv=None):
                     help="disjoint seed base for the confirmation eval")
     ap.add_argument("--write", action=argparse.BooleanOptionalAction,
                     default=True, help="rewrite the asset json with the winner")
+    ap.add_argument("--per_resolution", default="",
+                    help="comma list of points-per-frame resolutions to "
+                         "calibrate separately (e.g. 16384,32768,65536): "
+                         "for each, re-sweep min_prob x min_bbox_area with "
+                         "the winning center mode fixed and write the "
+                         "per-resolution overrides to the asset json's "
+                         "decode_per_resolution table (applied by "
+                         "benchmarks.decode_for_resolution). Mixed-"
+                         "resolution training does not transfer the "
+                         "operating point (NOTES.md round 3); this ships "
+                         "the calibration.")
     args = ap.parse_args(argv)
 
     with open(args.asset + ".json") as f:
@@ -131,6 +142,56 @@ def main(argv=None):
     )
     print("confirmation (disjoint seeds):", json.dumps(confirm))
 
+    # per-resolution calibration: the winning center mode is a property
+    # of the weights; the detection threshold is a property of the input
+    # density. Sweep thresholds per resolution, confirm on disjoint
+    # seeds, and record only the fields that differ from the base point.
+    per_res = {}
+    if args.per_resolution:
+        for npts in (int(c) for c in args.per_resolution.split(",")):
+            prep_r = prepare_eval_batches(
+                graphdef, state, spec, args.batch, npts,
+                max_yaw=max_yaw, scenes=scenes,
+                n_batches=args.eval_batches,
+            )
+            rrows = []
+            for mp in (0.3, 0.5, 0.7, 0.8, 0.9):
+                for ar in (8.0, 20.0):
+                    dr = dataclasses.replace(
+                        base_decode, min_prob=mp, min_bbox_area=ar
+                    )
+                    ev = evaluate(
+                        graphdef, state, spec, dr, args.batch, npts,
+                        max_yaw=max_yaw, head=head, scenes=scenes,
+                        center=best["center"],
+                        n_batches=args.eval_batches, prepared=prep_r,
+                    )
+                    rrows.append(
+                        {"min_prob": mp, "min_bbox_area": ar, **ev}
+                    )
+            rbest = max(rrows, key=lambda r: r["score"])
+            dr = dataclasses.replace(
+                base_decode, min_prob=rbest["min_prob"],
+                min_bbox_area=rbest["min_bbox_area"],
+            )
+            rconf = evaluate(
+                graphdef, state, spec, dr, args.batch, npts,
+                max_yaw=max_yaw, head=head, scenes=scenes,
+                center=best["center"], seed=args.confirm_seed,
+                n_batches=args.eval_batches,
+            )
+            per_res[str(npts)] = {
+                "min_prob": rbest["min_prob"],
+                "min_bbox_area": rbest["min_bbox_area"],
+            }
+            print(
+                f"resolution {npts}: min_prob {rbest['min_prob']} "
+                f"area {rbest['min_bbox_area']} det {rbest['det']:.2f} "
+                f"iou {rbest['mean_iou']:.3f} "
+                f"(confirm det {rconf['det']:.2f} "
+                f"iou {rconf['mean_iou']:.3f})", flush=True,
+            )
+
     if args.write:
         meta["decode"] = {"min_prob": best["min_prob"],
                           "min_bbox_area": best["min_bbox_area"]}
@@ -150,6 +211,8 @@ def main(argv=None):
         meta["best"]["center"] = best["center"]
         meta["best"]["step"] = step
         meta["confirmation"] = confirm
+        if per_res:
+            meta["decode_per_resolution"] = per_res
         with open(args.asset + ".json", "w") as f:
             json.dump(meta, f)
         print("asset json updated ->", args.asset + ".json")

@@ -212,3 +212,57 @@ def test_spatial_partition_full_width_train_step():
     p2 = jax.tree.leaves(nnx.state(m2, nnx.Param))
     for a, b in zip(p1, p2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_full_width_e2e_inference_matches_single_device():
+    """The FLAGSHIP inference graph (direct head, width 2, masked-cluster
+    decode) at the real production geometry (32 x 1801), batch-sharded
+    over data and width-constrained over spatial: the spatial axis must
+    partition the real-width CC/top_k decode (VERDICT r3 #5), and poses
+    must match unsharded execution."""
+    import dataclasses
+
+    from tpufusion.config import DecodeConfig
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.range_view import range_view_project_batch
+    from tpufusion.parallel.mesh import constrain_spatial
+
+    full_spec = RangeViewSpec()
+    assert full_spec.width == 1801
+    mesh = make_mesh(MeshConfig(n_devices=8, n_spatial=2))
+    model = FCN(
+        dataclasses.replace(
+            ModelConfig(), head="direct", width_multiplier=2,
+            reg_output_activation="linear",
+        ),
+        in_channels=3, rngs=nnx.Rngs(0),
+    )
+    graphdef, state = nnx.split(model)
+    dcfg = DecodeConfig(min_bbox_area=20.0)
+    points, _ = synthesize_points_batch(jax.random.PRNGKey(5), 8, 8192)
+    pts_host = np.asarray(points)
+
+    def e2e(state, pts, use_mesh):
+        mdl = nnx.merge(graphdef, state)
+        images = range_view_project_batch(pts, full_spec)
+        if use_mesh:
+            images = constrain_spatial(images, mesh)
+        preds = mdl(images, train=False)
+        out = decode_batch_direct(preds, images, full_spec, dcfg, 1)
+        return out["poses"][:, 0], out["found"][:, 0]
+
+    ref_pose, ref_found = jax.jit(lambda s, p: e2e(s, p, False))(
+        state, jax.device_put(pts_host)
+    )
+    sh = batch_sharding(mesh)
+    with mesh:
+        got_pose, got_found = jax.jit(lambda s, p: e2e(s, p, True))(
+            replicate(state, mesh), jax.device_put(pts_host, sh)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(ref_found), np.asarray(got_found)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_pose), np.asarray(got_pose), atol=1e-4
+    )

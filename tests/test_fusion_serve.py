@@ -166,3 +166,29 @@ def test_plateau_decay_is_per_epoch():
     for _ in range(6 * spe):
         state = upd(state, jnp.float32(10.0))
     assert plateau(state) <= 0.25
+
+
+def test_replay_harness_host_ring_matches_fresh(rng):
+    """host_ring staging (bounded-reuse H2D buffers) must be output-
+    identical to fresh-array staging, including across slot reuse (more
+    chunks than ring slots exercises the overwrite hazard)."""
+    from tests.conftest import synthetic_cloud
+    from tpufusion.serve.replay import ReplayHarness
+
+    cfg = PipelineConfig(range_view=SMALL_SPEC)
+    pts = np.stack(
+        [
+            np.pad(
+                synthetic_cloud(rng, n=2000),
+                ((0, 48), (0, 0)),
+                constant_values=np.nan,
+            )
+            for _ in range(24)
+        ]
+    )
+    fresh = ReplayHarness(cfg, chunk=4)
+    ring = ReplayHarness(cfg, chunk=4, host_ring=2)
+    p1, f1, _ = fresh.run(pts)
+    p2, f2, _ = ring.run(pts)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_allclose(p1, p2, atol=1e-6)

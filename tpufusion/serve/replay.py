@@ -57,17 +57,47 @@ class ReplayHarness:
         cfg: PipelineConfig = DEFAULT,
         model: FCN | None = None,
         chunk: int = 64,
+        host_ring: int = 0,
     ):
+        """host_ring > 0 routes every H2D transfer through a fixed ring
+        of that many preallocated host staging buffers (np.copyto into a
+        ring slot, device_put from the slot) instead of handing jax a
+        fresh numpy view per chunk. True streaming inference must move
+        fresh input per chunk by nature; on the axon relay each transfer
+        was measured to retain its client-side staging buffer (~0.5-2
+        MB/frame, NOTES.md round 3). The ring bounds the SOURCE buffers
+        to a constant set so a pointer-keyed staging cache could reuse
+        them — tools/probe_h2d_leak.py measures whether the relay
+        actually does (flat RSS) or retains per-call regardless."""
         self.cfg = cfg
         self.chunk = chunk
         self.model = model or FCN(cfg.model, in_channels=3, rngs=nnx.Rngs(0))
         graphdef, state = nnx.split(self.model)
         self._state = state
+        self._host_ring = host_ring
+        self._ring: list | None = None
         from tpufusion.predict import make_e2e_step
 
         self._step = make_e2e_step(
             graphdef, cfg.range_view, cfg.decode, cfg.projection_method
         )
+
+    def _stage(self, host_chunk: np.ndarray, slot: int):
+        """H2D transfer, through the staging ring when enabled."""
+        if not self._host_ring:
+            return jax.device_put(host_chunk)
+        # device_put is async: with one slot the copyto for chunk b+1
+        # could overwrite the buffer while chunk b's transfer is still in
+        # flight. With >= 2 slots a slot's previous transfer was consumed
+        # (np.asarray on its step's output) before the slot comes around.
+        assert self._host_ring >= 2, "host_ring must be >= 2 (async H2D)"
+        if self._ring is None:
+            self._ring = [
+                np.empty_like(host_chunk) for _ in range(self._host_ring)
+            ]
+        buf = self._ring[slot % self._host_ring]
+        np.copyto(buf, host_chunk)
+        return jax.device_put(buf)
 
     def run(
         self,
@@ -89,20 +119,21 @@ class ReplayHarness:
         founds = np.zeros((nb * self.chunk,), bool)
 
         # warm the executable (compile outside the timed region)
-        warm = jax.device_put(points[: self.chunk])
+        warm = self._stage(points[: self.chunk], 0)
         p, fd = self._step(self._state, warm)
         _ = np.asarray(p[0, 0])
 
         if profile_dir is not None:
             jax.profiler.start_trace(profile_dir)
         times = []
-        pending = jax.device_put(points[: self.chunk])
+        pending = self._stage(points[: self.chunk], 0)
         for b in range(nb):
             t0 = time.perf_counter()
             batch = pending
             if b + 1 < nb:  # stay one transfer ahead
-                pending = jax.device_put(
-                    points[(b + 1) * self.chunk : (b + 2) * self.chunk]
+                pending = self._stage(
+                    points[(b + 1) * self.chunk : (b + 2) * self.chunk],
+                    b + 1,
                 )
             p, fd = self._step(self._state, batch)
             lo = b * self.chunk

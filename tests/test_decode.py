@@ -721,3 +721,163 @@ def test_box_raycast_surface_geometry():
         # returns sit on the outline band, not in the deep interior
         assert onbox.sum() >= 0.8 * n_in, (onbox.sum(), n_in)
         assert (np.maximum(su, sv)[inside] > 0.6).mean() > 0.95
+
+
+def test_dual_yaw_codec_encode_and_auto_gate():
+    """yaw_frame="both" encodes 12-channel labels whose local pair
+    matches the "local" encoding and global pair the "global" one; the
+    decode's direct_yaw_frame="auto" magnitude gate picks whichever
+    codec kept its vector magnitude (an unlearnable codec collapses
+    toward zero — simulated by zeroing one pair), and with both pairs
+    intact matches the explicit decodes."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_beam_scan_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt, valid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(31), 8, 32768, max_yaw=0.45,
+        vehicle_surface="ellipse",
+    )
+    imgs = range_view_project_batch(pts, spec, valid)
+    lab_l = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec, yaw_frame="local"
+    )
+    lab_g = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec, yaw_frame="global"
+    )
+    lab_b = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec, yaw_frame="both"
+    )
+    assert lab_b.shape[-1] == 12
+    np.testing.assert_allclose(
+        np.asarray(lab_b[..., :10]), np.asarray(lab_l), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lab_b[..., 10:]), np.asarray(lab_g[..., 8:]), atol=1e-6
+    )
+
+    base = dataclasses.replace(cfg.decode, min_bbox_area=20.0)
+    d_auto = dataclasses.replace(base, direct_yaw_frame="auto")
+    d_local = dataclasses.replace(base, direct_yaw_frame="local")
+    d_global = dataclasses.replace(base, direct_yaw_frame="global")
+
+    out_auto = decode_batch_direct(lab_b, imgs, spec, d_auto, 1, "consensus")
+    out_local = decode_batch_direct(lab_l, imgs, spec, d_local, 1,
+                                    "consensus")
+    fd = np.asarray(out_auto["found"])[:, 0]
+    assert fd.sum() >= 5
+    # oracle dual labels: both codecs are exact; the gate's result must
+    # match the explicit local decode
+    np.testing.assert_allclose(
+        np.asarray(out_auto["poses"])[fd, 0],
+        np.asarray(out_local["poses"])[fd, 0], atol=1e-4,
+    )
+
+    # simulate the collapsed-local regime (symmetric-family cluster):
+    # zero the local pair -> gate must fall to the global codec
+    lab_z = np.asarray(lab_b).copy()
+    lab_z[..., 8:10] = 0.0
+    out_z = decode_batch_direct(
+        jnp.asarray(lab_z), imgs, spec, d_auto, 1, "consensus"
+    )
+    out_g = decode_batch_direct(lab_b, imgs, spec, d_global, 1, "consensus")
+    np.testing.assert_allclose(
+        np.asarray(out_z["poses"])[fd, 0, 3],
+        np.asarray(out_g["poses"])[fd, 0, 3], atol=1e-4,
+    )
+    # and the mirrored case: zero the global pair -> local codec
+    lab_z2 = np.asarray(lab_b).copy()
+    lab_z2[..., 10:12] = 0.0
+    out_z2 = decode_batch_direct(
+        jnp.asarray(lab_z2), imgs, spec, d_auto, 1, "consensus"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_z2["poses"])[fd, 0, 3],
+        np.asarray(out_local["poses"])[fd, 0, 3], atol=1e-4,
+    )
+
+
+def test_fit_boundary_auto_gates_per_cluster():
+    """fit_boundary="auto" + direct_yaw_frame="auto": on oriented
+    (ellipse) clusters with intact dual labels the result matches the
+    explicit ellipse fit; with the local pair zeroed (symmetric-cluster
+    regime) it matches the circle fit at fit_symmetric_scale."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufusion.config import DEFAULT
+    from tpufusion.data.synthetic import synthesize_beam_scan_batch
+    from tpufusion.decode.decode import decode_batch_direct
+    from tpufusion.geometry.encoding import encode_direct_label_batch
+    from tpufusion.geometry.range_view import range_view_project_batch
+
+    cfg = DEFAULT
+    spec = cfg.range_view
+    pts, gt, valid = synthesize_beam_scan_batch(
+        jax.random.PRNGKey(37), 8, 32768, max_yaw=0.45,
+        vehicle_surface="ellipse",
+    )
+    imgs = range_view_project_batch(pts, spec, valid)
+    lab_b = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec, yaw_frame="both"
+    )
+    d_auto = dataclasses.replace(
+        cfg.decode, min_bbox_area=20.0, direct_yaw_frame="auto",
+        fit_boundary="auto", fit_boundary_oriented="ellipse",
+        fit_surface_scale=0.9, fit_symmetric_scale=0.8,
+    )
+    d_ell = dataclasses.replace(
+        cfg.decode, min_bbox_area=20.0, direct_yaw_frame="local",
+        fit_boundary="ellipse", fit_surface_scale=0.9,
+    )
+    d_cir = dataclasses.replace(
+        cfg.decode, min_bbox_area=20.0, direct_yaw_frame="global",
+        fit_boundary="circle", fit_surface_scale=0.8,
+    )
+    # local pair decoded from a 12-ch input == 10-ch local label decode.
+    # With EXACT oracle labels both codecs carry magnitude ~1 and the
+    # gate is a float-level coin flip — dampen the global pair slightly
+    # (the direction a real net collapses on oriented scenes) so the
+    # gate's pick is deterministic for the parity check.
+    lab_l = encode_direct_label_batch(
+        gt["center"], gt["size"], gt["yaw"], imgs, spec, yaw_frame="local"
+    )
+    lab_bo = np.asarray(lab_b).copy()
+    lab_bo[..., 10:12] *= 0.9
+    out_auto = decode_batch_direct(
+        jnp.asarray(lab_bo), imgs, spec, d_auto, 1, "fit"
+    )
+    out_ell = decode_batch_direct(lab_l, imgs, spec, d_ell, 1, "fit")
+    fd = np.asarray(out_auto["found"])[:, 0]
+    assert fd.sum() >= 5
+    np.testing.assert_allclose(
+        np.asarray(out_auto["poses"])[fd, 0],
+        np.asarray(out_ell["poses"])[fd, 0], atol=1e-4,
+    )
+
+    lab_z = np.asarray(lab_b).copy()
+    lab_z[..., 8:10] = 0.0
+    out_z = decode_batch_direct(
+        jnp.asarray(lab_z), imgs, spec, d_auto, 1, "fit"
+    )
+    lab_g = np.asarray(lab_b)[..., list(range(8)) + [10, 11]]
+    out_c = decode_batch_direct(
+        jnp.asarray(lab_g), imgs, spec, d_cir, 1, "fit"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_z["poses"])[fd, 0],
+        np.asarray(out_c["poses"])[fd, 0], atol=1e-4,
+    )

@@ -135,6 +135,16 @@ class ModelConfig:
     # ~0.2x the target std at width 1); widen for assets that need a
     # working regression head. Output/head channel counts are unchanged.
     width_multiplier: int = 1
+    # Direct head's yaw channel layout. "single" = one sin/cos pair in
+    # the frame DecodeConfig.direct_yaw_frame names. "dual" = BOTH codecs
+    # (sin/cos local then sin/cos global, 10 regression channels): each
+    # codec is learnable only on the surface family whose observability
+    # matches it (local on oriented, global on symmetric — NOTES.md
+    # round-3 sessions B/D), and on the mismatched family the L2-optimal
+    # prediction collapses toward the zero vector, so the DECODE can
+    # gate per cluster on the mean predicted vector's magnitude
+    # (direct_yaw_frame="auto") — one asset across surface families.
+    yaw_codec: str = "single"
 
 
 @dataclass(frozen=True)
@@ -268,8 +278,14 @@ class DecodeConfig:
     # bbox; the synthetic rounded-box scenes use 0.9 ellipse /
     # 0.8 circle; box scenes render the true rectangle, scale 1.0 —
     # asset jsons pin the value they were validated at).
+    # "auto" (dual-codec assets): per cluster, fit BOTH the symmetric
+    # circle boundary (scale fit_symmetric_scale) and the oriented
+    # fit_boundary_oriented (scale fit_surface_scale), and keep the one
+    # matching the codec the yaw gate picked (direct_yaw_frame="auto").
     fit_boundary: str = "ellipse"
     fit_surface_scale: float = 0.9
+    fit_boundary_oriented: str = "ellipse"  # the oriented arm of "auto"
+    fit_symmetric_scale: float = 0.8  # circle-arm scale in "auto" mode
     # Frame of the direct head's sin/cos yaw channels:
     #   local  — sin/cos(yaw - theta_pixel), the pixel's viewing-ray frame.
     #            A conv net is translation-equivariant along azimuth and the
@@ -279,6 +295,14 @@ class DecodeConfig:
     #            Local targets are learnable AND roll-invariant.
     #   global — raw sin/cos(yaw): the pre-round-3 codec, kept for shipped
     #            assets trained with it (their jsons pin this).
+    #   auto   — dual-codec heads (ModelConfig.yaw_codec="dual", 12-channel
+    #            output) only: per cluster, decode BOTH codecs and keep the
+    #            one whose weighted-mean predicted vector has the larger
+    #            magnitude. The targets are unit vectors; on the surface
+    #            family where a codec is unobservable the L2-optimal
+    #            prediction is the conditional mean over a near-uniform
+    #            angle distribution ~ the zero vector, so magnitude IS the
+    #            codec's own confidence signal.
     direct_yaw_frame: str = "local"
 
 

@@ -259,6 +259,11 @@ def surface_fit_params(scenes: str) -> tuple[str, float]:
     the information the reference's decode had (predict.py:166-197
     derives l/w/h/yaw from a rectangle model). This is the
     oracle-sensitivity control VERDICT r3 asked for."""
+    if scenes == "mixed":
+        # dual-codec cross-family assets: decode gates the boundary per
+        # cluster (DecodeConfig.fit_boundary="auto"); the scale here is
+        # the oriented arm's (the symmetric arm uses fit_symmetric_scale)
+        return "auto", 0.9
     if scenes.endswith("ellipse"):
         return "ellipse", 0.9
     if scenes.endswith("box"):

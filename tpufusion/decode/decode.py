@@ -537,22 +537,55 @@ def _direct_pose_from_cluster(
     tot = jnp.maximum(jnp.sum(w), 1e-6)
 
     lwh = jnp.sum(y_pred[..., 5:8] * w[..., None], axis=(0, 1)) / tot
-    s_px, c_px = y_pred[..., 8], y_pred[..., 9]
-    if cfg.direct_yaw_frame == "local":
+    dual = y_pred.shape[-1] >= 12  # [.., sin_l, cos_l, sin_g, cos_g]
+
+    def _local_mean():
         # channels carry sin/cos(yaw + theta_pixel) — yaw relative to the
         # pixel's physical ray azimuth -theta (see encode_direct_label):
         # rotate each pixel's vector back BEFORE averaging (angle
         # subtraction on the vector field)
         from tpufusion.geometry.encoding import pixel_angles
 
+        s_px, c_px = y_pred[..., 8], y_pred[..., 9]
         theta, _ = pixel_angles(spec)
         st, ct = jnp.sin(theta), jnp.cos(theta)
         s_px, c_px = s_px * ct - c_px * st, c_px * ct + s_px * st
-    elif cfg.direct_yaw_frame != "global":
+        return jnp.sum(s_px * w) / tot, jnp.sum(c_px * w) / tot
+
+    def _global_mean():
+        gi = 10 if dual else 8
+        return (
+            jnp.sum(y_pred[..., gi] * w) / tot,
+            jnp.sum(y_pred[..., gi + 1] * w) / tot,
+        )
+
+    if cfg.direct_yaw_frame == "local":
+        sin_m, cos_m = _local_mean()
+        oriented = jnp.bool_(True)
+    elif cfg.direct_yaw_frame == "global":
+        sin_m, cos_m = _global_mean()
+        oriented = jnp.bool_(False)
+    elif cfg.direct_yaw_frame == "auto":
+        # dual-codec gate: the codec that is UNOBSERVABLE on this
+        # cluster's surface family collapses toward the zero vector (the
+        # L2-optimal prediction under a near-uniform conditional angle
+        # distribution — NOTES.md round-3 sessions B/D), so the weighted
+        # mean vector's magnitude is each codec's own confidence.
+        if not dual:
+            raise ValueError(
+                "direct_yaw_frame='auto' needs a dual-codec head "
+                "(ModelConfig.yaw_codec='dual', 12-channel output); got "
+                f"{y_pred.shape[-1]} channels"
+            )
+        sl, cl = _local_mean()
+        sg, cg = _global_mean()
+        use_local = sl * sl + cl * cl >= sg * sg + cg * cg
+        sin_m = jnp.where(use_local, sl, sg)
+        cos_m = jnp.where(use_local, cl, cg)
+        oriented = use_local
+    else:
         raise ValueError(f"unknown direct_yaw_frame "
                          f"{cfg.direct_yaw_frame!r}")
-    sin_m = jnp.sum(s_px * w) / tot
-    cos_m = jnp.sum(c_px * w) / tot
     yaw = jnp.arctan2(sin_m, cos_m)
 
     p = jax.lax.stop_gradient(pixel_points(image, spec))  # (H, W, 3)
@@ -591,7 +624,7 @@ def _direct_pose_from_cluster(
         center = jnp.zeros(3, jnp.float32)
     pose = jnp.concatenate([center, yaw[None], lwh])
     ok = jnp.sum(m) > 0
-    return jnp.where(ok, pose, 0.0), ok, p_mean
+    return jnp.where(ok, pose, 0.0), ok, p_mean, oriented
 
 
 def _silhouette_center(
@@ -909,7 +942,7 @@ def decode_frame_direct(
 
     def one(root_id, ok, bbox, cpx):
         cluster = mask & (labels == root_id)
-        pose, nonempty, p_mean = _direct_pose_from_cluster(
+        pose, nonempty, p_mean, oriented = _direct_pose_from_cluster(
             y_pred, image, cluster, spec, cfg,
             with_center=center == "head",
         )
@@ -958,9 +991,29 @@ def decode_frame_direct(
                     yaw, pose[4:7], xyz,
                 )
             elif center == "fit":
-                xyz, yaw, _ = _fit_pose_to_surface(
-                    image, cluster, spec, cfg, yaw, pose[4:7], xyz
-                )
+                if cfg.fit_boundary == "auto":
+                    # dual-codec assets: fit both boundary arms and keep
+                    # the one matching the codec the yaw gate picked —
+                    # the family is a per-cluster property at decode time
+                    cfg_ori = dataclasses.replace(
+                        cfg, fit_boundary=cfg.fit_boundary_oriented
+                    )
+                    cfg_sym = dataclasses.replace(
+                        cfg, fit_boundary="circle",
+                        fit_surface_scale=cfg.fit_symmetric_scale,
+                    )
+                    xyz_o, yaw_o, _ = _fit_pose_to_surface(
+                        image, cluster, spec, cfg_ori, yaw, pose[4:7], xyz
+                    )
+                    xyz_s, yaw_s, _ = _fit_pose_to_surface(
+                        image, cluster, spec, cfg_sym, yaw, pose[4:7], xyz
+                    )
+                    xyz = jnp.where(oriented, xyz_o, xyz_s)
+                    yaw = jnp.where(oriented, yaw_o, yaw_s)
+                else:
+                    xyz, yaw, _ = _fit_pose_to_surface(
+                        image, cluster, spec, cfg, yaw, pose[4:7], xyz
+                    )
             c, s = jnp.cos(-yaw), jnp.sin(-yaw)
             ctr = jnp.stack(
                 [c * xyz[0] - s * xyz[1], s * xyz[0] + c * xyz[1], xyz[2]]

@@ -184,6 +184,7 @@ def encode_label_batch(centers, sizes, yaws, images, spec: RangeViewSpec):
 # ---------------------------------------------------------------------------
 
 DIRECT_CHANNELS = 8  # dc (3 local-frame), l w h (3), sin yaw, cos yaw
+DIRECT_CHANNELS_DUAL = 10  # + global sin/cos pair (yaw_frame="both")
 
 
 def box_surface_mask(
@@ -242,7 +243,8 @@ def encode_direct_label(
     footprint: str = "surface",
     yaw_frame: str = "local",
 ) -> jax.Array:
-    """(H, W, 2 + 8) target: [bkg, fg, dc(3), lwh(3), sin yaw, cos yaw].
+    """(H, W, 2 + 8) target: [bkg, fg, dc(3), lwh(3), sin yaw, cos yaw]
+    (yaw_frame="both": 2 + 10, sin/cos local then sin/cos global).
 
     dc = R^T (c_phys - p) in the pixel's local frame (same frame as the
     corner codec, so it is exactly invariant under azimuth rolls), with
@@ -281,12 +283,21 @@ def encode_direct_label(
     )  # (H, W, 3) — R^T (c_phys - p)
     hw = mask.shape
     lwh = jnp.broadcast_to(size[None, None, :], (*hw, 3))
-    if yaw_frame == "local":
+    if yaw_frame in ("local", "both"):
         # the pixel's physical ray azimuth is -theta (the image column
         # axis is mirrored vs world azimuth, following the reference's
         # projection flips), so yaw-relative-to-ray = yaw - (-theta)
         theta, _ = pixel_angles(spec)  # (H, W)
         sc = jnp.stack([jnp.sin(yaw + theta), jnp.cos(yaw + theta)], axis=-1)
+        if yaw_frame == "both":
+            # dual codec (ModelConfig.yaw_codec="dual"): local pair then
+            # global pair — decode gates per cluster on which codec's
+            # predicted vectors kept their magnitude
+            sc_g = jnp.broadcast_to(
+                jnp.stack([jnp.sin(yaw), jnp.cos(yaw)])[None, None, :],
+                (*hw, 2),
+            )
+            sc = jnp.concatenate([sc, sc_g], axis=-1)
     elif yaw_frame == "global":
         sc = jnp.broadcast_to(
             jnp.stack([jnp.sin(yaw), jnp.cos(yaw)])[None, None, :], (*hw, 2)

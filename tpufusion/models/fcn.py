@@ -129,13 +129,16 @@ class FCN(nnx.Module):
 
     @property
     def num_reg_channels(self) -> int:
-        from tpufusion.geometry.encoding import DIRECT_CHANNELS
-
-        return (
-            self.cfg.num_corner_outputs
-            if self.cfg.head == "corner"
-            else DIRECT_CHANNELS
+        from tpufusion.geometry.encoding import (
+            DIRECT_CHANNELS,
+            DIRECT_CHANNELS_DUAL,
         )
+
+        if self.cfg.head == "corner":
+            return self.cfg.num_corner_outputs
+        if self.cfg.yaw_codec == "dual":
+            return DIRECT_CHANNELS_DUAL
+        return DIRECT_CHANNELS
 
     def _trunk(self, x: jax.Array, train: bool):
         """Shared encoder + deconv6a head; crops are derived from the input

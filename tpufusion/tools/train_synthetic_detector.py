@@ -148,9 +148,12 @@ def resolve_yaw_frame(yaw_frame: str, scenes: str) -> str:
     for oriented surfaces (ellipse/box — the silhouette's ray-relative
     orientation is locally observable), "global" for rotationally
     symmetric ones (the local target degenerates to unlearnable position
-    information)."""
+    information), "both" (dual-codec head, decode gates per cluster) for
+    mixed-family training."""
     if yaw_frame != "auto":
         return yaw_frame
+    if scenes == "mixed":
+        return "both"
     if scenes.endswith("ellipse") or scenes.endswith("box"):
         return "local"
     return "global"
@@ -224,7 +227,8 @@ def main(argv=None):
     # dropout) — the benchmark distribution since round 3; uniform = the
     # legacy dense-clutter scenes (kept for comparisons)
     ap.add_argument("--scenes",
-                    choices=("beam", "beam-ellipse", "beam-box", "uniform"),
+                    choices=("beam", "beam-ellipse", "beam-box", "mixed",
+                             "uniform"),
                     default="beam")
     # direct head only: multiplier on the sin/cos yaw channels inside the
     # joint reg-channel L2 (LossConfig.reg_channel_weights) — the <=0.43
@@ -238,7 +242,8 @@ def main(argv=None):
     # cannot represent (measured: yaw_err 0.73 rad ~ noise on circle
     # scenes with the local codec, 0.025 with global; the ellipse case
     # is the opposite — NOTES.md round 3).
-    ap.add_argument("--yaw_frame", choices=("auto", "local", "global"),
+    ap.add_argument("--yaw_frame",
+                    choices=("auto", "local", "global", "both"),
                     default="auto")
     ap.add_argument("--init_from", default=None,
                     help="warm-start weights from an existing asset npz "
@@ -262,11 +267,25 @@ def main(argv=None):
 
     cfg = DEFAULT
     spec = cfg.range_view
+    yaw_frame = resolve_yaw_frame(args.yaw_frame, args.scenes)
+    # mixed-family training cycles the scene family per step; the circle
+    # family keeps the near-zero yaw regime where its pose task is
+    # well-posed (orbit convention — NOTES.md round-2 session 3)
+    families = (
+        ["beam", "beam-ellipse", "beam-box"]
+        if args.scenes == "mixed" else [args.scenes]
+    )
+
+    def fam_max_yaw(fam):
+        return min(args.max_yaw, 0.05) if fam == "beam" else args.max_yaw
+
     model = FCN(
         dataclasses.replace(cfg.model, dtype="bfloat16",
                             reg_output_activation=args.reg_activation,
                             width_multiplier=args.width_mult,
-                            head=args.head),
+                            head=args.head,
+                            yaw_codec="dual" if yaw_frame == "both"
+                            else "single"),
         in_channels=3, rngs=nnx.Rngs(0),
     )
     if args.init_from:
@@ -280,12 +299,13 @@ def main(argv=None):
     )
     opt = nnx.Optimizer(model, optax.adam(sched), wrt=nnx.Param)
 
-    pts, gt, _ = _synth(args.scenes, jax.random.PRNGKey(42), args.batch,
-                        args.n_points, args.max_yaw)
+    pts, gt, _ = _synth(families[0], jax.random.PRNGKey(42), args.batch,
+                        args.n_points, fam_max_yaw(families[0]))
     stats = population_weights(
         np.asarray(gt["center"]), np.asarray(gt["size"]),
         np.asarray(gt["yaw"]), spec,
     )
+    n_yaw_ch = 4 if yaw_frame == "both" else 2
     step = make_train_step(
         spec,
         LossConfig(
@@ -295,7 +315,7 @@ def main(argv=None):
             weight_bb=args.weight_bb,
             reg_target_norm_clip=args.reg_clip,
             reg_channel_weights=(
-                (1.0,) * 6 + (args.yaw_weight,) * 2
+                (1.0,) * 6 + (args.yaw_weight,) * n_yaw_ch
                 if args.head == "direct" and args.yaw_weight != 1.0
                 else None
             ),
@@ -303,7 +323,7 @@ def main(argv=None):
         TrainConfig(batch_size=args.batch,
                     augment=args.head != "direct"),
         head=args.head,
-        yaw_frame=resolve_yaw_frame(args.yaw_frame, args.scenes),
+        yaw_frame=yaw_frame,
     )
     graphdef, _ = nnx.split(model)
     dcfg = dataclasses.replace(
@@ -311,7 +331,9 @@ def main(argv=None):
             cfg.decode, args.eval_min_prob, args.eval_min_bbox_area,
             scenes=args.scenes,
         ),
-        direct_yaw_frame=resolve_yaw_frame(args.yaw_frame, args.scenes),
+        # decode-side name of the codec: the dual ("both") head decodes
+        # through the per-cluster magnitude gate ("auto")
+        direct_yaw_frame="auto" if yaw_frame == "both" else yaw_frame,
     )
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -324,9 +346,10 @@ def main(argv=None):
         if args.points_mix else [args.n_points]
     )
     for s in range(1, args.steps + 1):
+        fam = families[s % len(families)]
         p, g, vmask = _synth(
-            args.scenes, jax.random.PRNGKey(100_000 + s), args.batch,
-            points_mix[s % len(points_mix)], args.max_yaw,
+            fam, jax.random.PRNGKey(100_000 + s), args.batch,
+            points_mix[s % len(points_mix)], fam_max_yaw(fam),
             vary_size=args.vary_size,
             n_clutter=clutter_mix[s % len(clutter_mix)],
         )
@@ -347,19 +370,43 @@ def main(argv=None):
                  "head", "backproject")
                 if args.head == "direct" else (None,)
             )
-            prepared = prepare_eval_batches(
-                graphdef, state, spec, args.batch, args.n_points,
-                max_yaw=args.max_yaw, scenes=args.scenes,
-                n_batches=args.eval_batches,
-            )
-            evs = {
-                m: evaluate(graphdef, state, spec, dcfg,
-                            args.batch, args.n_points,
-                            max_yaw=args.max_yaw, head=args.head,
-                            scenes=args.scenes, center=m,
-                            n_batches=args.eval_batches, prepared=prepared)
-                for m in modes
+            # mixed-family assets are selected by the MEAN score across
+            # families (the whole point is one asset for both); per-mode
+            # metrics shown are the cross-family means too
+            fam_prepared = {
+                f: prepare_eval_batches(
+                    graphdef, state, spec, args.batch, args.n_points,
+                    max_yaw=fam_max_yaw(f), scenes=f,
+                    n_batches=args.eval_batches,
+                )
+                for f in families
             }
+
+            def _eval_mode(m):
+                per_fam = [
+                    evaluate(graphdef, state, spec, dcfg,
+                             args.batch, args.n_points,
+                             max_yaw=fam_max_yaw(f), head=args.head,
+                             scenes=f, center=m,
+                             n_batches=args.eval_batches,
+                             prepared=fam_prepared[f])
+                    for f in families
+                ]
+                if len(per_fam) == 1:
+                    return per_fam[0]
+                mean = {
+                    k: float(np.mean([e[k] for e in per_fam]))
+                    for k in per_fam[0]
+                }
+                mean["per_family"] = {
+                    f: {"mean_iou": e["mean_iou"], "det": e["det"],
+                        "recall_iou25": e["recall_iou25"],
+                        "xy_err": e["xy_err"], "yaw_err": e["yaw_err"]}
+                    for f, e in zip(families, per_fam)
+                }
+                return mean
+
+            evs = {m: _eval_mode(m) for m in modes}
             mode = max(evs, key=lambda m: evs[m]["score"])
             ev = evs[mode]
             print(
@@ -383,12 +430,14 @@ def _write_asset_json(args, best):
               "min_bbox_area": args.eval_min_bbox_area}
     if "center" in best and best["center"]:
         decode["direct_center"] = best["center"]
+    yaw_frame = resolve_yaw_frame(args.yaw_frame, args.scenes)
     if args.head == "direct":
         # pin the yaw-channel frame the asset was trained with (resolved
         # per scene family — see resolve_yaw_frame; older assets are
-        # global)
-        decode["direct_yaw_frame"] = resolve_yaw_frame(
-            args.yaw_frame, args.scenes
+        # global). A dual head ("both") is decoded through the magnitude
+        # gate ("auto").
+        decode["direct_yaw_frame"] = (
+            "auto" if yaw_frame == "both" else yaw_frame
         )
         # pin the "fit" mode's boundary model to the scene family the
         # asset was validated on (used when direct_center == "fit", and
@@ -396,6 +445,11 @@ def _write_asset_json(args, best):
         boundary, scale = surface_fit_params(args.scenes)
         decode["fit_boundary"] = boundary
         decode["fit_surface_scale"] = scale
+    model_json = {"reg_output_activation": args.reg_activation,
+                  "width_multiplier": args.width_mult,
+                  "head": args.head}
+    if yaw_frame == "both":
+        model_json["yaw_codec"] = "dual"
     with open(args.out + ".json", "w") as f:
         json.dump({"best": best, "steps": args.steps,
                    "scenes": args.scenes,
@@ -406,9 +460,7 @@ def _write_asset_json(args, best):
                    "w1_boost": args.w1_boost,
                    "weight_bb": args.weight_bb,
                    "decode": decode,
-                   "model": {"reg_output_activation": args.reg_activation,
-                             "width_multiplier": args.width_mult,
-                             "head": args.head}},
+                   "model": model_json},
                   f)
 
 

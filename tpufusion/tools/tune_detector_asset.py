@@ -63,6 +63,7 @@ def main(argv=None):
             reg_output_activation=mcfg.get("reg_output_activation", "relu"),
             width_multiplier=mcfg.get("width_multiplier", 1),
             head=head,
+            yaw_codec=mcfg.get("yaw_codec", "single"),
         ),
         in_channels=3, rngs=nnx.Rngs(0),
     )

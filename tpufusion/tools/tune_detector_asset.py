@@ -156,7 +156,12 @@ def main(argv=None):
                 n_batches=args.eval_batches,
             )
             rrows = []
-            for mp in (0.3, 0.5, 0.7, 0.8, 0.9):
+            # sparse sweeps need FAR lower thresholds than the sweep
+            # grid's floor suggests: at 16k points the flagship's det
+            # goes 0.77 -> 0.94 between min_prob 0.3 and 0.05 (round 4,
+            # fenced 128-frame protocol) — the classifier's confidence
+            # scales with per-pixel occupancy, not with object presence
+            for mp in (0.05, 0.1, 0.2, 0.3, 0.5, 0.7, 0.8, 0.9):
                 for ar in (8.0, 20.0):
                     dr = dataclasses.replace(
                         base_decode, min_prob=mp, min_bbox_area=ar

@@ -89,6 +89,13 @@ def base_condition_from_meta(meta: dict) -> dict:
         base_kw["vehicle_surface"] = "ellipse"
     elif scenes.endswith("box"):
         base_kw["vehicle_surface"] = "box"
+    elif scenes == "mixed":
+        # mixed training anchors on the circle family, whose per-family
+        # yaw cap is min(max_yaw, 0.05) (train_synthetic_detector
+        # fam_max_yaw: yaw is unobservable on a rotationally symmetric
+        # surface) — the envelope's base row must mirror that, and the
+        # explicit ellipse/box rows below cover the oriented families
+        base_kw["max_yaw"] = min(base_kw["max_yaw"], 0.05)
     return base_kw
 
 

@@ -306,3 +306,9 @@ def test_detector_envelope_base_condition_from_meta():
     assert kw == {
         "n_points": 16384, "max_yaw": 0.45, "vehicle_surface": "ellipse",
     }
+    # mixed-family assets anchor on the circle family, whose training
+    # yaw cap is min(max_yaw, 0.05) (train_synthetic_detector
+    # fam_max_yaw) — the base row must measure in-distribution
+    assert base_condition_from_meta(
+        {"scenes": "mixed", "max_yaw": 0.45}
+    ) == {"n_points": 32768, "max_yaw": 0.05}

@@ -102,12 +102,45 @@ def main(argv=None):
          "backproject")
         if head == "direct" else (None,)
     )
-    # the scenes + projection + FCN forward are identical for every
-    # operating point: prepare them once, sweep only the decode
-    prepared = prepare_eval_batches(
-        graphdef, state, spec, args.batch, args.n_points,
-        max_yaw=max_yaw, scenes=scenes, n_batches=args.eval_batches,
+    # mixed-family assets tune on the same per-family protocol they were
+    # selected by (trainer _eval_mode): evaluate each family at its
+    # training yaw cap and average — _synth("mixed") itself would fall
+    # through to the legacy uniform-clutter generator
+    families = (
+        ["beam", "beam-ellipse", "beam-box"] if scenes == "mixed"
+        else [scenes]
     )
+
+    def fam_yaw(fam):
+        return min(max_yaw, 0.05) if fam == "beam" else max_yaw
+
+    # the scenes + projection + FCN forward are identical for every
+    # operating point: prepare them once per family, sweep only the decode
+    def prepare_all(n_points, seed=999):
+        return {
+            f: prepare_eval_batches(
+                graphdef, state, spec, args.batch, n_points, seed=seed,
+                max_yaw=fam_yaw(f), scenes=f, n_batches=args.eval_batches,
+            )
+            for f in families
+        }
+
+    def eval_mean(dcfg, center, n_points, prepared=None, seed=999):
+        per_fam = [
+            evaluate(
+                graphdef, state, spec, dcfg, args.batch, n_points,
+                seed=seed, max_yaw=fam_yaw(f), head=head, scenes=f,
+                center=center, n_batches=args.eval_batches,
+                prepared=None if prepared is None else prepared[f],
+            )
+            for f in families
+        ]
+        if len(per_fam) == 1:
+            return per_fam[0]
+        return {k: float(np.mean([e[k] for e in per_fam]))
+                for k in per_fam[0]}
+
+    prepared = prepare_all(args.n_points)
     rows = []
     for mp in probs:
         for ar in areas:
@@ -115,11 +148,8 @@ def main(argv=None):
                 base_decode, min_prob=mp, min_bbox_area=ar
             )
             for mode in modes:
-                ev = evaluate(
-                    graphdef, state, spec, dcfg, args.batch, args.n_points,
-                    max_yaw=max_yaw, head=head, scenes=scenes, center=mode,
-                    n_batches=args.eval_batches, prepared=prepared,
-                )
+                ev = eval_mean(dcfg, mode, args.n_points,
+                               prepared=prepared)
                 rows.append({"min_prob": mp, "min_bbox_area": ar,
                              "center": mode, **ev})
                 print(
@@ -136,11 +166,8 @@ def main(argv=None):
         base_decode, min_prob=best["min_prob"],
         min_bbox_area=best["min_bbox_area"],
     )
-    confirm = evaluate(
-        graphdef, state, spec, dcfg, args.batch, args.n_points,
-        max_yaw=max_yaw, head=head, scenes=scenes, center=best["center"],
-        seed=args.confirm_seed, n_batches=args.eval_batches,
-    )
+    confirm = eval_mean(dcfg, best["center"], args.n_points,
+                        seed=args.confirm_seed)
     print("confirmation (disjoint seeds):", json.dumps(confirm))
 
     # per-resolution calibration: the winning center mode is a property
@@ -150,11 +177,7 @@ def main(argv=None):
     per_res = {}
     if args.per_resolution:
         for npts in (int(c) for c in args.per_resolution.split(",")):
-            prep_r = prepare_eval_batches(
-                graphdef, state, spec, args.batch, npts,
-                max_yaw=max_yaw, scenes=scenes,
-                n_batches=args.eval_batches,
-            )
+            prep_r = prepare_all(npts)
             rrows = []
             # sparse sweeps need FAR lower thresholds than the sweep
             # grid's floor suggests: at 16k points the flagship's det
@@ -166,12 +189,8 @@ def main(argv=None):
                     dr = dataclasses.replace(
                         base_decode, min_prob=mp, min_bbox_area=ar
                     )
-                    ev = evaluate(
-                        graphdef, state, spec, dr, args.batch, npts,
-                        max_yaw=max_yaw, head=head, scenes=scenes,
-                        center=best["center"],
-                        n_batches=args.eval_batches, prepared=prep_r,
-                    )
+                    ev = eval_mean(dr, best["center"], npts,
+                                   prepared=prep_r)
                     rrows.append(
                         {"min_prob": mp, "min_bbox_area": ar, **ev}
                     )
@@ -180,12 +199,8 @@ def main(argv=None):
                 base_decode, min_prob=rbest["min_prob"],
                 min_bbox_area=rbest["min_bbox_area"],
             )
-            rconf = evaluate(
-                graphdef, state, spec, dr, args.batch, npts,
-                max_yaw=max_yaw, head=head, scenes=scenes,
-                center=best["center"], seed=args.confirm_seed,
-                n_batches=args.eval_batches,
-            )
+            rconf = eval_mean(dr, best["center"], npts,
+                              seed=args.confirm_seed)
             per_res[str(npts)] = {
                 "min_prob": rbest["min_prob"],
                 "min_bbox_area": rbest["min_bbox_area"],

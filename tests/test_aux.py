@@ -347,6 +347,20 @@ def test_tracker_intermittent_clutter_not_confirmed():
     assert np.allclose(trail[0][1][:2], [15.0, 2.0], atol=1.0)
 
 
+def test_mixed_family_eval_best_effort(monkeypatch):
+    """Config 4's mixed-family companion row is best-effort: any load
+    failure skips the row (returns None) instead of publishing a
+    substitute model's scores under the mixed asset's name — the same
+    contract as the wide-yaw companion."""
+    import tpufusion.benchmarks as B
+
+    def boom(*a, **k):
+        raise RuntimeError("load failed")
+
+    monkeypatch.setattr(B, "_quick_trained_state", boom)
+    assert B._mixed_family_eval() is None
+
+
 def test_quick_trained_state_no_fallback_raises(tmp_path):
     """fallback=False must raise instead of silently quick-training a
     substitute model (the wide-yaw companion row would otherwise publish

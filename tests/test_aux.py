@@ -228,6 +228,31 @@ def test_tracker_confirmation_suppresses_flicker():
     assert len(trail) >= f - 4
 
 
+def test_tracker_backfills_pre_confirmation_detections():
+    """On first confirmation a track's pre-confirmation detections are
+    retroactively attached to its trail (coverage at zero spurious
+    cost): the persistent vehicle's trail must start at frame 0 and
+    cover EVERY frame even though confirmation needs min_hits=3; the
+    never-confirmed clutter track must still emit nothing."""
+    from tpufusion.serve.tracker import PoseTracker
+
+    f = 10
+    poses = np.zeros((f, 2, 7))
+    found = np.zeros((f, 2), bool)
+    poses[:, 0, :3] = [15.0, 2.0, -0.7]  # persistent vehicle
+    found[:, 0] = True
+    poses[:, 1, :3] = [30.0, -5.0, -0.7]  # clutter: fires twice only
+    found[2, 1] = found[4, 1] = True
+
+    trails = PoseTracker(dt=0.1).run_multi(poses, found)
+    assert len(trails) == 1
+    (trail,) = trails.values()
+    frames = [fr for fr, _ in trail]
+    assert frames == list(range(f))  # full coverage incl. frames 0-1
+    for _, pose in trail[:2]:  # backfilled entries are the detections
+        assert np.allclose(pose[:3], [15.0, 2.0, -0.7], atol=1e-9)
+
+
 def test_track_quality_metrics_counts_switches_and_spurious():
     from tpufusion.serve.tracker import track_quality_metrics
 
@@ -352,7 +377,19 @@ def test_mixed_family_eval_best_effort(monkeypatch):
     failure skips the row (returns None) instead of publishing a
     substitute model's scores under the mixed asset's name — the same
     contract as the wide-yaw companion."""
+    import os
+
     import tpufusion.benchmarks as B
+
+    # guard against a vacuous pass: if the shipped asset were absent,
+    # _companion_asset_eval would return None BEFORE reaching the
+    # monkeypatched loader and the skip-on-load-failure contract would
+    # go untested silently
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(B.__file__)),
+        "assets", "synthetic_detector_mixed.npz",
+    )
+    assert os.path.exists(asset), "shipped mixed asset missing"
 
     def boom(*a, **k):
         raise RuntimeError("load failed")

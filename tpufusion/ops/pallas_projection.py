@@ -60,7 +60,7 @@ _CHUNK = 4096  # points per DMA tile (2 x 16 KB SMEM per slot)
 
 def _scatter_kernel(pix_hbm, key_hbm, neg1_hbm, max_hbm, win_ref,
                     best_ref, pix_smem0, pix_smem1, key_smem0, key_smem1,
-                    sems, *, n: int, unroll: int):
+                    sems, *, n: int, unroll: int, style: str):
     g = pl.program_id(0)
     pix_slots = (pix_smem0, pix_smem1)
     key_slots = (key_smem0, key_smem1)
@@ -99,33 +99,56 @@ def _scatter_kernel(pix_hbm, key_hbm, neg1_hbm, max_hbm, win_ref,
             d.wait()
         base = c * _CHUNK
 
-        def one(j, slot=slot, base=base):
-            p = pix_slots[slot][0, j]
-            k = key_slots[slot][0, j]
+        def rmw(p, k, i):
             b = best_ref[0, p]
+            if style == "branch":
+                @pl.when(k < b)
+                def _():
+                    best_ref[0, p] = k
+                    win_ref[0, 0, p] = i
+            else:  # "select": branchless, unconditional stores
+                lt = k < b
+                w = win_ref[0, 0, p]
+                best_ref[0, p] = jnp.where(lt, k, b)
+                win_ref[0, 0, p] = jnp.where(lt, i, w)
 
-            @pl.when(k < b)
-            def _():
-                best_ref[0, p] = k
-                win_ref[0, 0, p] = base + j
-
-        def body(j, carry2, one=one):
+        def body(j, carry2, slot=slot, base=base, rmw=rmw):
             jbase = j * unroll
-            for u in range(unroll):
-                one(jbase + u)
+            if style == "hoist":
+                # issue the unroll-block's independent stream loads
+                # first, then run the (serially dependent) RMWs
+                pk = [
+                    (pix_slots[slot][0, jbase + u],
+                     key_slots[slot][0, jbase + u])
+                    for u in range(unroll)
+                ]
+                for u, (p, k) in enumerate(pk):
+                    b = best_ref[0, p]
+
+                    @pl.when(k < b)
+                    def _(p=p, k=k, i=base + jbase + u):
+                        best_ref[0, p] = k
+                        win_ref[0, 0, p] = i
+            else:
+                for u in range(unroll):
+                    p = pix_slots[slot][0, jbase + u]
+                    k = key_slots[slot][0, jbase + u]
+                    rmw(p, k, base + jbase + u)
             return carry2
 
         jax.lax.fori_loop(0, _CHUNK // unroll, body, 0, unroll=False)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_pixels", "unroll", "interpret")
+    jax.jit,
+    static_argnames=("num_pixels", "unroll", "style", "interpret"),
 )
 def nearest_wins_pallas_batch(
     pixel_ids: jax.Array,  # (B, N) int32 in [0, num_pixels)
     key_bits: jax.Array,  # (B, N) int32 sortable encoding; INT32_MAX = invalid
     num_pixels: int,
     unroll: int = 8,
+    style: str = "branch",
     interpret: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched nearest-wins winner: returns (winner (B, P), occupied (B, P)).
@@ -149,7 +172,8 @@ def nearest_wins_pallas_batch(
     neg1 = jnp.full((1, 1, num_pixels), -1, jnp.int32)
     max32 = jnp.full((1, num_pixels), _INT32_MAX, jnp.int32)
     win = pl.pallas_call(
-        functools.partial(_scatter_kernel, n=n, unroll=unroll),
+        functools.partial(_scatter_kernel, n=n, unroll=unroll,
+                          style=style),
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
